@@ -1,0 +1,367 @@
+"""CLIP ViT + text transformer as pure JAX functions over parameter pytrees.
+
+Re-design of the reference's vendored OpenAI CLIP (reference:
+src/models/components/clip/model.py:174-430) for TPU:
+
+- Parameters are plain pytrees; every transformer's per-layer weights are stacked on
+  a leading ``layers`` axis and applied with ``lax.scan`` — one compiled block body
+  regardless of depth (fast XLA compiles, clean pjit sharding).
+- The patch embedding is an unfold + matmul rather than a conv, which maps directly
+  onto the MXU with no layout shuffles.
+- Numerics: LayerNorm and softmax always run in float32 (matching the reference's
+  fp32 LayerNorm, model.py:174-180); matmuls run in ``compute_dtype`` (float32 for
+  checkpoint parity, bfloat16 for peak MXU throughput).
+- QuickGELU (``x * sigmoid(1.702 x)``) matches model.py:183-185 exactly — standard
+  GELU silently degrades checkpoint parity.
+
+Only the ViT visual tower is implemented: every reference config uses ViT-B/16, and
+the ModifiedResNet tower is dead code there (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+def matmul_precision_for(compute_dtype) -> contextlib.AbstractContextManager:
+    """Pin XLA matmul precision to the numerics policy.
+
+    JAX's default matmul precision truncates fp32 operands (bf16-like passes) on
+    accelerator-style backends; that breaks checkpoint parity silently. fp32 compute
+    gets "highest" (true fp32 MXU passes); bf16 compute keeps the fast default.
+    """
+    if jnp.dtype(compute_dtype) == jnp.float32:
+        return jax.default_matmul_precision("highest")
+    return contextlib.nullcontext()
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int = 512
+    image_resolution: int = 224
+    vision_layers: int = 12
+    vision_width: int = 768
+    vision_patch_size: int = 16
+    context_length: int = 77
+    vocab_size: int = 49408
+    transformer_width: int = 512
+    transformer_heads: int = 8
+    transformer_layers: int = 12
+
+    @property
+    def vision_heads(self) -> int:
+        return self.vision_width // 64
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_resolution // self.vision_patch_size
+
+    @staticmethod
+    def vit_b16() -> "CLIPConfig":
+        return CLIPConfig()
+
+    @staticmethod
+    def vit_b32() -> "CLIPConfig":
+        return CLIPConfig(vision_patch_size=32)
+
+    @staticmethod
+    def tiny(vocab_size: int = 49408) -> "CLIPConfig":
+        """A small stand-in config for tests and the synthetic experiment."""
+        return CLIPConfig(
+            embed_dim=64,
+            image_resolution=32,
+            vision_layers=2,
+            vision_width=64,
+            vision_patch_size=16,
+            context_length=77,
+            vocab_size=vocab_size,
+            transformer_width=64,
+            transformer_heads=4,
+            transformer_layers=2,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Numeric primitives
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-5):
+    """LayerNorm over the last axis, always computed in float32 (model.py:174-180)."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def multi_head_attention(
+    x: jnp.ndarray,
+    attn: Params,
+    num_heads: int,
+    causal: bool = False,
+) -> jnp.ndarray:
+    """Batched MHA over (B, L, D); softmax in fp32.
+
+    Weight layout: ``qkv_w`` is (D, 3D) (the transpose of torch's in_proj_weight so
+    the hot path is a plain right-matmul), ``out_w`` is (D, D).
+    """
+    b, l, d = x.shape
+    head_dim = d // num_heads
+    qkv = x @ attn["qkv_w"] + attn["qkv_b"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split_heads(t):
+        return t.reshape(b, l, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / math.sqrt(head_dim))
+    if causal:
+        mask = jnp.tril(jnp.ones((l, l), dtype=bool))
+        scores = jnp.where(mask, scores, -jnp.inf)
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+    return out @ attn["out_w"] + attn["out_b"]
+
+
+def _block_apply(x: jnp.ndarray, blk: Params, num_heads: int, causal: bool) -> jnp.ndarray:
+    """One pre-LN residual attention block (model.py:188-217)."""
+    h = layer_norm(x, blk["ln_1"]["scale"], blk["ln_1"]["bias"])
+    x = x + multi_head_attention(h, blk["attn"], num_heads, causal)
+    h = layer_norm(x, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
+    h = quick_gelu(h @ blk["mlp"]["fc_w"] + blk["mlp"]["fc_b"])
+    x = x + (h @ blk["mlp"]["proj_w"] + blk["mlp"]["proj_b"])
+    return x
+
+
+def transformer_apply(
+    x: jnp.ndarray, blocks: Params, num_heads: int, causal: bool = False
+) -> jnp.ndarray:
+    """Apply a stack of residual blocks (leading ``layers`` axis) via lax.scan."""
+
+    def body(carry, blk):
+        return _block_apply(carry, blk, num_heads, causal), None
+
+    x, _ = jax.lax.scan(body, x, blocks)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Encoders
+# ---------------------------------------------------------------------------
+
+
+def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(B, H, W, 3) NHWC images -> (B, N_patches, 3*patch*patch) with the channel-major
+    per-patch ordering of a torch Conv2d kernel flatten (weight[o, c, kh, kw])."""
+    b, h, w, c = images.shape
+    gh, gw = h // patch, w // patch
+    x = images.reshape(b, gh, patch, gw, patch, c)
+    # -> (B, gh, gw, c, ph, pw): channel-major within the patch
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(b, gh * gw, c * patch * patch)
+
+
+def encode_image(
+    params: Params,
+    cfg: CLIPConfig,
+    images: jnp.ndarray,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """ViT forward: (B, H, W, 3) NHWC -> (B, embed_dim) (model.py:266-290)."""
+    with matmul_precision_for(compute_dtype):
+        return _encode_image(params, cfg, images, compute_dtype)
+
+
+def _encode_image(
+    params: Params,
+    cfg: CLIPConfig,
+    images: jnp.ndarray,
+    compute_dtype: jnp.dtype,
+) -> jnp.ndarray:
+    visual = params["visual"]
+    x = patchify(images.astype(compute_dtype), cfg.vision_patch_size)
+    x = x @ visual["patch_embed"].astype(compute_dtype)  # (B, N, width)
+
+    b = x.shape[0]
+    cls = jnp.broadcast_to(
+        visual["class_embedding"].astype(compute_dtype), (b, 1, cfg.vision_width)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + visual["positional_embedding"].astype(compute_dtype)
+    x = layer_norm(x, visual["ln_pre"]["scale"], visual["ln_pre"]["bias"])
+
+    x = transformer_apply(x, visual["blocks"], cfg.vision_heads)
+
+    x = layer_norm(x[:, 0, :], visual["ln_post"]["scale"], visual["ln_post"]["bias"])
+    return x @ visual["proj"].astype(compute_dtype)
+
+
+def text_transformer_on_embeddings(
+    params: Params,
+    cfg: CLIPConfig,
+    embeddings: jnp.ndarray,
+    eot_indices: jnp.ndarray,
+    text_projection: Optional[jnp.ndarray] = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Text transformer over pre-built token embeddings, skipping the embedding
+    lookup (reference: src/models/components/text_encoder.py:14-25 — the CoOp path
+    feeds learned context vectors directly).
+
+    Args:
+        embeddings: (N, context_length, width) prompt embeddings.
+        eot_indices: (N,) position of the EOT token per prompt (argmax of token ids).
+        text_projection: overrides params["text"]["text_projection"]; in AnomalyCLIP
+            this matrix is trainable (anomaly_clip_module.py:72) and lives in the
+            trainable pytree.
+    """
+    with matmul_precision_for(compute_dtype):
+        return _text_on_embeddings(
+            params, cfg, embeddings, eot_indices, text_projection, compute_dtype
+        )
+
+
+def _text_on_embeddings(
+    params: Params,
+    cfg: CLIPConfig,
+    embeddings: jnp.ndarray,
+    eot_indices: jnp.ndarray,
+    text_projection: Optional[jnp.ndarray],
+    compute_dtype: jnp.dtype,
+) -> jnp.ndarray:
+    text = params["text"]
+    x = embeddings.astype(compute_dtype) + text["positional_embedding"].astype(compute_dtype)
+    x = transformer_apply(x, text["blocks"], cfg.transformer_heads, causal=True)
+    x = layer_norm(x, text["ln_final"]["scale"], text["ln_final"]["bias"])
+    x = jnp.take_along_axis(x, eot_indices[:, None, None], axis=1)[:, 0, :]
+    proj = text_projection if text_projection is not None else text["text_projection"]
+    return x @ proj.astype(compute_dtype)
+
+
+def encode_text(
+    params: Params,
+    cfg: CLIPConfig,
+    tokens: jnp.ndarray,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Text forward from token ids: (N, 77) int32 -> (N, embed_dim)
+    (model.py:401-414)."""
+    embeddings = params["text"]["token_embedding"][tokens]
+    eot_indices = jnp.argmax(tokens, axis=-1)
+    return text_transformer_on_embeddings(
+        params, cfg, embeddings, eot_indices, compute_dtype=compute_dtype
+    )
+
+
+def clip_similarity(
+    params: Params,
+    cfg: CLIPConfig,
+    images: jnp.ndarray,
+    tokens: jnp.ndarray,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Contrastive logits (model.py:416-430); provided for CLIP API completeness."""
+    image_features = encode_image(params, cfg, images, compute_dtype)
+    text_features = encode_text(params, cfg, tokens, compute_dtype)
+    image_features = image_features / jnp.linalg.norm(image_features, axis=1, keepdims=True)
+    text_features = text_features / jnp.linalg.norm(text_features, axis=1, keepdims=True)
+    scale = jnp.exp(params["logit_scale"])
+    logits_per_image = scale * image_features @ text_features.T
+    return logits_per_image, logits_per_image.T
+
+
+# ---------------------------------------------------------------------------
+# Initialization (reference init distributions, model.py:352-384)
+# ---------------------------------------------------------------------------
+
+
+def _init_blocks(key: jax.Array, layers: int, width: int) -> Params:
+    """Stacked residual-block params with CLIP's init scheme."""
+    proj_std = (width**-0.5) * ((2 * layers) ** -0.5)
+    attn_std = width**-0.5
+    fc_std = (2 * width) ** -0.5
+    keys = jax.random.split(key, 4)
+
+    def normal(k, shape, std):
+        return jax.random.normal(k, shape, dtype=jnp.float32) * std
+
+    return {
+        "ln_1": {
+            "scale": jnp.ones((layers, width)),
+            "bias": jnp.zeros((layers, width)),
+        },
+        "attn": {
+            "qkv_w": normal(keys[0], (layers, width, 3 * width), attn_std),
+            "qkv_b": jnp.zeros((layers, 3 * width)),
+            "out_w": normal(keys[1], (layers, width, width), proj_std),
+            "out_b": jnp.zeros((layers, width)),
+        },
+        "ln_2": {
+            "scale": jnp.ones((layers, width)),
+            "bias": jnp.zeros((layers, width)),
+        },
+        "mlp": {
+            "fc_w": normal(keys[2], (layers, width, 4 * width), fc_std),
+            "fc_b": jnp.zeros((layers, 4 * width)),
+            "proj_w": normal(keys[3], (layers, 4 * width, width), proj_std),
+            "proj_b": jnp.zeros((layers, width)),
+        },
+    }
+
+
+def init_clip_params(key: jax.Array, cfg: CLIPConfig) -> Params:
+    """Random CLIP params matching the reference's initialize_parameters
+    distributions — used for tests and the synthetic experiment; real runs load
+    converted OpenAI weights."""
+    kv, kt, k_emb, k_pos, k_cls, k_vpos, k_patch, k_proj, k_tp = jax.random.split(key, 9)
+    width = cfg.vision_width
+    scale = width**-0.5
+    n_patches = cfg.grid_size**2
+
+    visual = {
+        "patch_embed": jax.random.normal(
+            k_patch, (3 * cfg.vision_patch_size**2, width), dtype=jnp.float32
+        )
+        * scale,
+        "class_embedding": scale * jax.random.normal(k_cls, (width,), dtype=jnp.float32),
+        "positional_embedding": scale
+        * jax.random.normal(k_vpos, (n_patches + 1, width), dtype=jnp.float32),
+        "ln_pre": {"scale": jnp.ones((width,)), "bias": jnp.zeros((width,))},
+        "blocks": _init_blocks(kv, cfg.vision_layers, width),
+        "ln_post": {"scale": jnp.ones((width,)), "bias": jnp.zeros((width,))},
+        "proj": scale * jax.random.normal(k_proj, (width, cfg.embed_dim), dtype=jnp.float32),
+    }
+    tw = cfg.transformer_width
+    text = {
+        "token_embedding": 0.02
+        * jax.random.normal(k_emb, (cfg.vocab_size, tw), dtype=jnp.float32),
+        "positional_embedding": 0.01
+        * jax.random.normal(k_pos, (cfg.context_length, tw), dtype=jnp.float32),
+        "blocks": _init_blocks(kt, cfg.transformer_layers, tw),
+        "ln_final": {"scale": jnp.ones((tw,)), "bias": jnp.zeros((tw,))},
+        "text_projection": (tw**-0.5)
+        * jax.random.normal(k_tp, (tw, cfg.embed_dim), dtype=jnp.float32),
+    }
+    return {
+        "visual": visual,
+        "text": text,
+        "logit_scale": jnp.asarray(np.log(1 / 0.07), dtype=jnp.float32),
+    }
