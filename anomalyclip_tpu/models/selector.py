@@ -88,7 +88,12 @@ def direction_logits(
     text = text - ncentroid
     text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
     image = image_features - ncentroid
-    return image @ text.T
+    # The projection is tiny (T x D x C-1): full-precision fp32 passes cost nothing
+    # and keep the logits bit-faithful for checkpoint parity.
+    precision = (
+        jax.lax.Precision.HIGHEST if image.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    return jnp.matmul(image, text.T, precision=precision)
 
 
 def batch_norm_apply(
