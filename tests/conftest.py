@@ -7,10 +7,17 @@ sharding is exercised on virtual host-platform devices.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The harness exports JAX_PLATFORMS=axon and pre-imports jax via sitecustomize, so
+# plain env vars are too late: force the platform through jax.config (effective
+# because no backend has initialized yet) and set the flag with an override.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
