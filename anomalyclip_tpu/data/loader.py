@@ -1,0 +1,155 @@
+"""Batching + prefetching loaders.
+
+Replaces the reference's pair of torch DataLoaders that Lightning zips into
+(normal_batch, abnormal_batch) steps (reference:
+src/data/anomaly_clip_datamodule.py:144-163). TPU-first design:
+
+- a :class:`TrainBatch` carries the abnormal and normal halves as separate fields,
+  so the train step can shard each half evenly over the data mesh and concatenate
+  abnormal-first on device (the order convention the selector/loss rely on,
+  anomaly_clip_module.py:173-178);
+- item loading is fanned out over a thread pool and whole batches are prefetched on
+  a background thread so host IO overlaps device compute (the reference leans on
+  torch DataLoader workers for this);
+- every epoch reshuffles with an explicit numpy Generator — reproducible,
+  checkpoint-resumable, no global RNG.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, NamedTuple, Optional
+
+import numpy as np
+
+from anomalyclip_tpu.data.dataset import TestItem, VideoDataset
+
+
+class TrainBatch(NamedTuple):
+    abnormal_features: np.ndarray  # (b/2, n*l, D) or frames
+    abnormal_labels: np.ndarray  # (b/2,)
+    normal_features: np.ndarray  # (b/2, n*l, D)
+    normal_labels: np.ndarray  # (b/2,)
+
+
+class DualStreamTrainLoader:
+    """Paired abnormal/normal epochs: each stream shuffles independently, batches
+    are batch_size//2 from each, drop_last; epoch length = min of the two stream
+    lengths (zip semantics of the reference's loader list)."""
+
+    def __init__(
+        self,
+        normal: VideoDataset,
+        abnormal: VideoDataset,
+        batch_size: int,
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch: int = 2,
+    ):
+        if batch_size % 2 != 0:
+            raise ValueError("batch_size must be even (abnormal/normal halves)")
+        self.normal = normal
+        self.abnormal = abnormal
+        self.half = batch_size // 2
+        self.seed = seed
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        return min(len(self.normal) // self.half, len(self.abnormal) // self.half)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _epoch_plan(self):
+        rng = np.random.default_rng((self.seed, self.epoch))
+        n_idx = rng.permutation(len(self.normal))
+        a_idx = rng.permutation(len(self.abnormal))
+        for b in range(len(self)):
+            yield (
+                a_idx[b * self.half : (b + 1) * self.half],
+                n_idx[b * self.half : (b + 1) * self.half],
+                rng.integers(np.iinfo(np.int64).max),
+            )
+
+    def _make_batch(self, a_ids, n_ids, batch_seed) -> TrainBatch:
+        rng = np.random.default_rng(batch_seed)
+        item_seeds = rng.integers(np.iinfo(np.int64).max, size=2 * self.half)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            a_items = list(
+                pool.map(
+                    lambda args: self.abnormal.train_item(
+                        int(args[0]), np.random.default_rng(int(args[1]))
+                    ),
+                    zip(a_ids, item_seeds[: self.half]),
+                )
+            )
+            n_items = list(
+                pool.map(
+                    lambda args: self.normal.train_item(
+                        int(args[0]), np.random.default_rng(int(args[1]))
+                    ),
+                    zip(n_ids, item_seeds[self.half :]),
+                )
+            )
+        a_feats = np.stack([f for f, _ in a_items])  # (b/2, ncrops, t, ...)
+        n_feats = np.stack([f for f, _ in n_items])
+        return TrainBatch(
+            abnormal_features=a_feats,
+            abnormal_labels=np.array([l for _, l in a_items], dtype=np.int32),
+            normal_features=n_feats,
+            normal_labels=np.array([l for _, l in n_items], dtype=np.int32),
+        )
+
+    def __iter__(self) -> Iterator[TrainBatch]:
+        return _prefetched(
+            (self._make_batch(*plan) for plan in self._epoch_plan()), self.prefetch
+        )
+
+
+class SequentialTestLoader:
+    """Per-video test iteration (batch_size_test=1 semantics,
+    anomaly_clip_datamodule.py:165-193), with background prefetch."""
+
+    def __init__(self, dataset: VideoDataset, prefetch: int = 2, limit: Optional[int] = None):
+        self.dataset = dataset
+        self.prefetch = prefetch
+        self.limit = limit
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return min(n, self.limit) if self.limit is not None else n
+
+    def __iter__(self) -> Iterator[TestItem]:
+        return _prefetched(
+            (self.dataset.test_item(i) for i in range(len(self))), self.prefetch
+        )
+
+
+def _prefetched(gen, depth: int):
+    """Run a generator on a daemon thread with a bounded queue."""
+    if depth <= 0:
+        yield from gen
+        return
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(_END)
+        except BaseException as exc:  # surfaced on the consumer side
+            q.put(exc)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

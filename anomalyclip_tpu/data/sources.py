@@ -1,0 +1,100 @@
+"""Per-video array sources: pre-extracted CLIP features (.npy) or raw JPEG frames.
+
+Feature source (reference: src/data/components/feature_dataset.py:326-349): one
+``<video>.npy`` per video, reshaped to (T, ncrops, D).
+
+Frame source (reference: src/data/components/video_dataset.py:203-206, 330-343 +
+src/utils/augmentations.py:21-34): ``{:06d}.jpg`` files per video directory, CLIP
+preprocessing = bicubic resize (short side) -> center crop -> scale to [0,1] ->
+normalize with CLIP mean/std. Output is NHWC float32 (TPU-native layout; the
+reference's NCHW is a torch convention).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+
+from anomalyclip_tpu.data.records import VideoRecord
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
+
+
+class FeatureSource:
+    """Loads (T, ncrops, D) feature arrays; sampling indexes rows by frame."""
+
+    def __init__(self, ncrops: int = 1):
+        self.ncrops = ncrops
+
+    def load_video(self, record: VideoRecord) -> np.ndarray:
+        feats = np.load(record.feature_path, allow_pickle=True)
+        feats = np.asarray(feats, dtype=np.float32)
+        return feats.reshape(-1, self.ncrops, feats.shape[-1])
+
+    def num_frames(self, video: np.ndarray) -> int:
+        return video.shape[0]
+
+    def gather(self, video: np.ndarray, frame_indices: np.ndarray) -> np.ndarray:
+        """-> (ncrops, len(frame_indices), D)"""
+        return video[frame_indices].transpose(1, 0, 2)
+
+
+def preprocess_frame(img, input_size: int = 224) -> np.ndarray:
+    """CLIP preprocessing for one PIL image -> (H, W, 3) float32 NHWC."""
+    from PIL import Image
+
+    w, h = img.size
+    # bicubic resize so the short side equals input_size (GroupScale semantics)
+    if w < h:
+        new_w, new_h = input_size, max(int(round(h * input_size / w)), input_size)
+    else:
+        new_h, new_w = input_size, max(int(round(w * input_size / h)), input_size)
+    img = img.resize((new_w, new_h), Image.BICUBIC)
+    left = (new_w - input_size) // 2
+    top = (new_h - input_size) // 2
+    img = img.crop((left, top, left + input_size, top + input_size))
+    arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+    return (arr - CLIP_MEAN) / CLIP_STD
+
+
+class FrameSource:
+    """Loads and preprocesses JPEG frames on demand.
+
+    ``gather`` receives *frame indices within the record* (0-based, modulo-wrapped)
+    and maps them to file ids by adding ``record.start_frame``
+    (video_dataset.py:337-339).
+    """
+
+    def __init__(
+        self,
+        input_size: int = 224,
+        image_tmpl: str = "{:06d}.jpg",
+        ncrops: int = 1,
+    ):
+        self.input_size = input_size
+        self.image_tmpl = image_tmpl
+        self.ncrops = ncrops
+
+    def load_video(self, record: VideoRecord) -> VideoRecord:
+        # frames are loaded lazily per index; the "video" handle is the record
+        return record
+
+    def num_frames(self, video: VideoRecord) -> int:
+        return video.num_frames
+
+    def _load_one(self, record: VideoRecord, file_idx: int) -> np.ndarray:
+        from PIL import Image
+
+        path = os.path.join(record.frames_dir, self.image_tmpl.format(file_idx))
+        with Image.open(path) as img:
+            return preprocess_frame(img, self.input_size)
+
+    def gather(self, video: VideoRecord, frame_indices: np.ndarray) -> np.ndarray:
+        """-> (ncrops=1, len(frame_indices), H, W, 3)"""
+        frames = np.stack(
+            [self._load_one(video, int(i) + video.start_frame) for i in frame_indices]
+        )
+        return frames[None]

@@ -1,0 +1,97 @@
+"""Synthetic dataset generator: random feature files + annotations on disk.
+
+Creates the exact on-disk layout the real datasets use (``<video>.npy`` features,
+annotation txts, temporal test annotations) so the full pipeline — parsing,
+sampling, batching, training, evaluation — runs end-to-end with no dataset
+download. Used by tests and bench (the reference's test suite has no analogous
+fixture; its tests depend on real data, SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def generate_synthetic_dataset(
+    frames_root: str | Path,
+    annotations_root: str | Path,
+    num_normal: int = 8,
+    num_abnormal: int = 8,
+    num_test: int = 4,
+    num_classes: int = 6,
+    normal_id: int = 3,
+    feature_dim: int = 64,
+    min_frames: int = 600,
+    max_frames: int = 1400,
+    seed: int = 0,
+    force: bool = False,
+) -> None:
+    frames_root = Path(frames_root)
+    annotations_root = Path(annotations_root)
+    stamp = annotations_root / ".synthetic_ok"
+    if stamp.is_file() and not force:
+        return
+    frames_root.mkdir(parents=True, exist_ok=True)
+    annotations_root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    abnormal_classes = [c for c in range(num_classes) if c != normal_id]
+    # class-conditioned feature means make the task learnable end-to-end
+    class_means = rng.standard_normal((num_classes, feature_dim)).astype(np.float32)
+
+    def write_video(name: str, label: int, anomalous_span=None) -> int:
+        t = int(rng.integers(min_frames, max_frames + 1))
+        feats = 0.1 * rng.standard_normal((t, feature_dim)).astype(np.float32)
+        feats += class_means[normal_id]
+        if anomalous_span is not None:
+            s, e = anomalous_span
+            feats[s : e + 1] += class_means[label] - class_means[normal_id]
+        np.save(frames_root / f"{name}.npy", feats)
+        return t
+
+    normal_lines, abnormal_lines, test_lines, temporal_lines = [], [], [], []
+
+    for i in range(num_normal):
+        name = f"normal_{i:03d}"
+        t = write_video(name, normal_id)
+        normal_lines.append(f"{name} 0 {t - 1} {normal_id}")
+
+    def plan_span() -> tuple:
+        """Anomalous interval within [0, min_frames): start in the first half, span
+        of ~1/8..1/2 of the minimum length, clipped to stay in range."""
+        s = int(rng.integers(0, max(min_frames // 2, 1)))
+        span = int(rng.integers(max(min_frames // 8, 1), max(min_frames // 2, 2)))
+        e = min(max(s + span, s + 1), min_frames - 1)
+        return s, max(e, s)
+
+    for i in range(num_abnormal):
+        name = f"abnormal_{i:03d}"
+        label = int(abnormal_classes[i % len(abnormal_classes)])
+        s, e = plan_span()
+        t = write_video(name, label, (s, e))
+        abnormal_lines.append(f"{name} 0 {t - 1} {label}")
+
+    for i in range(num_test):
+        anomalous = i % 2 == 0
+        name = f"test_{i:03d}"
+        if anomalous:
+            label = int(abnormal_classes[i % len(abnormal_classes)])
+            s, e = plan_span()
+            t = write_video(name, label, (s, e))
+            test_lines.append(f"{name} 0 {t - 1} {label}")
+            temporal_lines.append(f"{name} class_{label} {s} {e}")
+        else:
+            t = write_video(name, normal_id)
+            test_lines.append(f"{name} 0 {t - 1} {normal_id}")
+            # real temporal-annotation files list every test video; normal ones
+            # carry an empty interval marker
+            temporal_lines.append(f"{name} Normal -1 -1")
+
+    (annotations_root / "Anomaly_Train_Normal.txt").write_text("\n".join(normal_lines) + "\n")
+    (annotations_root / "Anomaly_Train_Abnormal.txt").write_text("\n".join(abnormal_lines) + "\n")
+    (annotations_root / "Anomaly_Test.txt").write_text("\n".join(test_lines) + "\n")
+    (annotations_root / "Temporal_Anomaly_Annotation_for_Testing_Videos.txt").write_text(
+        "\n".join(temporal_lines) + "\n"
+    )
+    stamp.write_text("ok\n")

@@ -1,0 +1,206 @@
+"""Data pipeline parity: sampling + test items vs the reference VideoFrameDataset."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from anomalyclip_tpu.data.dataset import SamplingConfig, VideoDataset
+from anomalyclip_tpu.data.loader import DualStreamTrainLoader
+from anomalyclip_tpu.data.sampling import train_start_indices
+from anomalyclip_tpu.data.sampling import test_start_indices as covering_start_indices
+from anomalyclip_tpu.data.sources import FeatureSource
+from anomalyclip_tpu.data.synthetic import generate_synthetic_dataset
+from tests.helpers.reference_oracle import load_reference_module, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not present"
+)
+
+N, L, STRIDE = 4, 3, 1
+NORMAL_ID = 3
+NUM_CLASSES = 6
+
+
+@pytest.fixture(scope="module")
+def synthetic_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    frames = root / "features"
+    annos = root / "annotations"
+    generate_synthetic_dataset(
+        frames,
+        annos,
+        num_normal=3,
+        num_abnormal=3,
+        num_test=4,
+        num_classes=NUM_CLASSES,
+        normal_id=NORMAL_ID,
+        feature_dim=16,
+        min_frames=50,
+        max_frames=90,
+        seed=7,
+    )
+    return frames, annos
+
+
+@pytest.fixture(scope="module")
+def oracle_dataset_cls():
+    # feature_dataset imports `from src import utils`; stub the logger accessor
+    src_pkg = types.ModuleType("src")
+    utils_mod = types.ModuleType("src.utils")
+
+    class _Log:
+        def __getattr__(self, name):
+            return lambda *a, **k: None
+
+    utils_mod.get_pylogger = lambda name=None: _Log()
+    src_pkg.utils = utils_mod
+    sys.modules.setdefault("src", src_pkg)
+    sys.modules.setdefault("src.utils", utils_mod)
+    mod = load_reference_module(
+        "src/data/components/feature_dataset.py", "_ref_feature_dataset"
+    )
+    return mod.VideoFrameDataset
+
+
+def test_test_items_match_reference_exactly(synthetic_dirs, oracle_dataset_cls):
+    frames, annos = synthetic_dirs
+    oracle = oracle_dataset_cls(
+        root_path=str(frames),
+        annotationfile_path=str(annos / "Anomaly_Test.txt"),
+        normal_id=NORMAL_ID,
+        num_segments=N,
+        frames_per_segment=L,
+        test_mode=True,
+        ncrops=1,
+        temporal_annotation_file=str(
+            annos / "Temporal_Anomaly_Annotation_for_Testing_Videos.txt"
+        ),
+        labels_file=None,
+        stride=STRIDE,
+    )
+    ours = VideoDataset(
+        annotation_file=str(annos / "Anomaly_Test.txt"),
+        root=str(frames),
+        normal_id=NORMAL_ID,
+        sampling=SamplingConfig(num_segments=N, frames_per_segment=L, stride=STRIDE),
+        source=FeatureSource(ncrops=1),
+        test_mode=True,
+        temporal_annotation_file=str(
+            annos / "Temporal_Anomaly_Annotation_for_Testing_Videos.txt"
+        ),
+    )
+    assert len(oracle) == len(ours)
+    for i in range(len(ours)):
+        want_feats, want_labels, want_video_label, want_seg, want_path = oracle[i]
+        got = ours.test_item(i)
+        np.testing.assert_array_equal(got.features, want_feats.numpy())
+        np.testing.assert_array_equal(got.frame_labels, want_labels)
+        assert got.video_label == want_video_label
+        assert got.segment_size == want_seg
+        assert got.path == want_path
+
+
+def test_train_start_indices_formula_matches(oracle_dataset_cls, synthetic_dirs):
+    """With jitter pinned to zero, our train sampling grid equals the reference's."""
+    frames, annos = synthetic_dirs
+    oracle = oracle_dataset_cls(
+        root_path=str(frames),
+        annotationfile_path=str(annos / "Anomaly_Train_Normal.txt"),
+        normal_id=NORMAL_ID,
+        num_segments=N,
+        frames_per_segment=L,
+        ncrops=1,
+        stride=STRIDE,
+    )
+
+    class _ZeroJitter(np.random.Generator):
+        pass
+
+    class _FixedRng:
+        def integers(self, low, high=None, size=None):
+            return np.zeros(size, dtype=np.int64)
+
+    record = oracle.video_list[0]
+    old_randint = np.random.randint
+    try:
+        np.random.randint = lambda high, size=None: np.zeros(size, dtype=np.int64)
+        want = oracle._get_start_indices(record)
+    finally:
+        np.random.randint = old_randint
+
+    got = train_start_indices(record.num_frames, N, L, STRIDE, _FixedRng())
+    np.testing.assert_array_equal(got, want)
+
+    # long-video branch
+    long_frames = N * L * STRIDE * 5 + 17
+
+    class _Rec:
+        num_frames = long_frames
+
+    try:
+        np.random.randint = lambda high, size=None: np.zeros(size, dtype=np.int64)
+        want_long = oracle._get_start_indices(_Rec())
+    finally:
+        np.random.randint = old_randint
+    got_long = train_start_indices(long_frames, N, L, STRIDE, _FixedRng())
+    np.testing.assert_array_equal(got_long, want_long)
+
+
+def test_test_start_indices_padding_properties():
+    starts, seg = covering_start_indices(100, N, L, STRIDE)
+    chunk = L * STRIDE
+    assert len(starts) % N == 0
+    assert len(starts) * chunk >= 100
+    assert len(starts) * chunk - 100 < N * chunk
+    assert seg == len(starts) // N
+    np.testing.assert_array_equal(np.diff(starts), chunk)
+
+
+def test_train_item_jitter_stays_in_segment(synthetic_dirs):
+    frames, annos = synthetic_dirs
+    rng = np.random.default_rng(0)
+    for t in [37, 48, 100, 1000]:
+        starts = train_start_indices(t, N, L, STRIDE, rng)
+        lower = N * L * STRIDE
+        dist = (max(t, lower) - L + 1) // N
+        base = np.arange(N) * dist
+        assert (starts >= base).all()
+        assert (starts <= base + dist - L + 1).all()
+
+
+def test_dual_stream_loader_shapes_and_halving(synthetic_dirs):
+    frames, annos = synthetic_dirs
+    sampling = SamplingConfig(num_segments=N, frames_per_segment=L, stride=STRIDE)
+
+    def make(path):
+        return VideoDataset(
+            annotation_file=str(annos / path),
+            root=str(frames),
+            normal_id=NORMAL_ID,
+            sampling=sampling,
+            source=FeatureSource(ncrops=1),
+        )
+
+    loader = DualStreamTrainLoader(
+        normal=make("Anomaly_Train_Normal.txt"),
+        abnormal=make("Anomaly_Train_Abnormal.txt"),
+        batch_size=4,
+        seed=0,
+        num_workers=2,
+    )
+    batches = list(loader)
+    assert len(batches) == len(loader) == 1  # 3 videos per stream, half=2 -> 1 batch
+    batch = batches[0]
+    assert batch.abnormal_features.shape == (2, 1, N * L, 16)
+    assert batch.normal_features.shape == (2, 1, N * L, 16)
+    assert (batch.normal_labels == NORMAL_ID).all()
+    assert (batch.abnormal_labels != NORMAL_ID).all()
+
+    # epochs reshuffle deterministically
+    loader.set_epoch(1)
+    b1 = list(loader)[0]
+    loader.set_epoch(1)
+    b1_again = list(loader)[0]
+    np.testing.assert_array_equal(b1.abnormal_features, b1_again.abnormal_features)
