@@ -1,0 +1,191 @@
+"""Per-video test-time scoring with grid batching and shape bucketing.
+
+The reference scores each variable-length test video with a dynamically shaped
+forward (reference: anomaly_clip.py:117-154; test items are padded to
+``segment_size`` 32x16 chunks, feature_dataset.py:252-259). Under jit that would
+recompile per video length. TPU-first restructuring:
+
+- the host rearranges the flat (n, s, l) frame stream into ``s`` independent
+  (num_segments x seg_length) grids — the axial transformer treats each grid
+  independently at test time (temporal_model.py:46-53), so this is exact;
+- the grid batch is padded up to a small set of static bucket sizes, giving a
+  handful of compilations for an entire dataset;
+- padded grids produce garbage scores that are sliced off before the inverse
+  layout; real-frame outputs are bit-identical to the unbucketed forward because
+  every per-frame op (selector, BN-eval, head) and every grid is independent.
+
+Equivalence with the reference-layout forward is asserted in
+tests/test_model_forward.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anomalyclip_tpu.data.dataset import TestItem
+from anomalyclip_tpu.models.anomaly_clip import AnomalyCLIP
+from anomalyclip_tpu.models.clip.model import matmul_precision_for
+from anomalyclip_tpu.models.selector import BNState, selector_test
+from anomalyclip_tpu.models.temporal import axial_transformer, temporal_scores
+
+
+def bucket_size(g: int, buckets: Tuple[int, ...]) -> int:
+    for b in buckets:
+        if g <= b:
+            return b
+    # beyond the largest bucket, round up to a multiple of it
+    top = buckets[-1]
+    return ((g + top - 1) // top) * top
+
+
+DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+
+class GridScorer:
+    """Jit-compiled scoring of a batch of (n, l, D) grids.
+
+    Text features depend only on the trainable params, so they are computed once
+    per evaluation epoch and closed over as a device constant.
+    """
+
+    def __init__(
+        self,
+        model: AnomalyCLIP,
+        frozen,
+        trainable,
+        bn_state: BNState,
+        ncentroid,
+        buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
+    ):
+        self.model = model
+        self.buckets = buckets
+        self.text_features = jax.jit(model.text_features)(frozen, trainable)
+        self._frozen = frozen
+        self._trainable = trainable
+        self._bn_state = bn_state
+        self._ncentroid = jnp.asarray(ncentroid)
+
+        def score(grids: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+            """grids: (G, n, l, D) -> (similarity (G*n*l, C-1), scores (G*n*l,))"""
+            cfg = model.cfg
+            with matmul_precision_for(cfg.dtype):
+                g = grids.shape[0]
+                flat = grids.reshape(-1, grids.shape[-1])
+                similarity = selector_test(
+                    flat,
+                    self.text_features,
+                    self._ncentroid,
+                    self._bn_state,
+                    model.selector_cfg,
+                )
+                features = model._temporal_input(flat, similarity, self._ncentroid)
+                scores = temporal_scores(
+                    features,
+                    self._trainable["temporal"],
+                    model.temporal_cfg,
+                    segment_size=1,
+                    test_mode=False,  # each grid is one (n, l) block: train layout
+                ).reshape(-1)
+                return similarity, scores
+
+        self._score = jax.jit(score)
+
+    def score_grids(self, grids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Pad the grid batch to a bucket, score, trim."""
+        g = grids.shape[0]
+        gb = bucket_size(g, self.buckets)
+        if gb != g:
+            pad = np.zeros((gb - g,) + grids.shape[1:], dtype=grids.dtype)
+            grids = np.concatenate([grids, pad], axis=0)
+        similarity, scores = self._score(jnp.asarray(grids))
+        n_l = grids.shape[1] * grids.shape[2]
+        return (
+            np.asarray(similarity)[: g * n_l],
+            np.asarray(scores)[: g * n_l],
+        )
+
+
+@dataclasses.dataclass
+class VideoScores:
+    similarity: np.ndarray  # (T, C-1) frame-rate, trimmed to true length
+    scores: np.ndarray  # (T,)
+    class_probs: np.ndarray  # (T, C-1) softmax(similarity) * scores
+    frame_labels: np.ndarray  # (T,)
+    video_label: int
+    path: str
+
+
+def score_video(item: TestItem, scorer: GridScorer, model: AnomalyCLIP) -> VideoScores:
+    """Score one test video, reproducing the reference's output exactly
+    (anomaly_clip.py:117-154 + the trim in anomaly_clip_module.py:479-483)."""
+    cfg = model.cfg
+    n, l, s = cfg.num_segments, cfg.seg_length, item.segment_size
+    feats = item.features  # (ncrops, n*s*l, D)
+    ncrops, t, d = feats.shape
+    assert t == n * s * l, (t, n, s, l)
+
+    # (ncrops, n, s, l, D) -> (ncrops*s, n, l, D): grids in (crop-major, s) order
+    grids = (
+        feats.reshape(ncrops, n, s, l, d).transpose(0, 2, 1, 3, 4).reshape(ncrops * s, n, l, d)
+    )
+    similarity, scores = scorer.score_grids(grids)
+
+    # invert to the reference's flat (ncrops, n, s, l) frame order
+    c_abn = similarity.shape[-1]
+    sim = (
+        similarity.reshape(ncrops, s, n, l, c_abn)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(ncrops * t, c_abn)
+    )
+    sc = scores.reshape(ncrops, s, n, l).transpose(0, 2, 1, 3).reshape(ncrops * t)
+
+    # frame-rate expansion by stride (anomaly_clip.py:149-152)
+    sim = np.repeat(sim, cfg.stride, axis=0)
+    sc = np.repeat(sc, cfg.stride, axis=0)
+
+    # softmax over classes, joint probs, trim padding (anomaly_clip_module.py:473-482)
+    num_labels = len(item.frame_labels)
+    sim = sim[:num_labels]
+    sc = sc[:num_labels]
+    e = np.exp(sim - sim.max(axis=1, keepdims=True))
+    softmax_sim = e / e.sum(axis=1, keepdims=True)
+    class_probs = softmax_sim * sc[:, None]
+
+    return VideoScores(
+        similarity=sim,
+        scores=sc,
+        class_probs=class_probs,
+        frame_labels=np.asarray(item.frame_labels),
+        video_label=item.video_label,
+        path=item.path,
+    )
+
+
+def evaluate_videos(
+    loader,
+    scorer: GridScorer,
+    model: AnomalyCLIP,
+    on_video: Optional[Callable[[VideoScores], None]] = None,
+) -> Dict[str, np.ndarray]:
+    """Concatenate per-video outputs over a test loader
+    (anomaly_clip_module.py:500-504)."""
+    all_scores: List[np.ndarray] = []
+    all_labels: List[np.ndarray] = []
+    all_probs: List[np.ndarray] = []
+    for item in loader:
+        vs = score_video(item, scorer, model)
+        if on_video is not None:
+            on_video(vs)
+        all_scores.append(vs.scores)
+        all_labels.append(vs.frame_labels)
+        all_probs.append(vs.class_probs)
+    return {
+        "abnormal_scores": np.concatenate(all_scores),
+        "labels": np.concatenate(all_labels),
+        "class_probs": np.concatenate(all_probs),
+    }

@@ -1,0 +1,91 @@
+"""Checkpoint save/restore with Orbax.
+
+Replaces Lightning's ModelCheckpoint + trainer.fit(ckpt_path=...) resume (reference:
+configs/callbacks/model_checkpoint.yaml, anomaly_clip_module.py via Lightning).
+Layout under ``<run_dir>/checkpoints``:
+
+    epoch_000/  epoch_001/  ...  last/      (Orbax directories)
+
+Each checkpoint stores {trainable, opt_state, bn_state (as arrays), step, epoch}.
+The normality centroid is a side-channel file ``ncentroid.npy`` in the run dir,
+mirroring the reference's ``ncentroid.pt`` (anomaly_clip_module.py:140-171).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from anomalyclip_tpu.models.selector import BNState
+
+
+def _to_saveable(state: Dict[str, Any]) -> Dict[str, Any]:
+    out = dict(state)
+    bn = out.pop("bn_state")
+    out["bn_mean"] = bn.mean
+    out["bn_var"] = bn.var
+    return jax.tree_util.tree_map(np.asarray, out)
+
+
+def _from_saved(raw: Dict[str, Any]) -> Dict[str, Any]:
+    out = dict(raw)
+    out["bn_state"] = BNState(mean=out.pop("bn_mean"), var=out.pop("bn_var"))
+    return out
+
+
+class CheckpointManager:
+    def __init__(self, run_dir: str | Path, save_top_k: int = -1):
+        self.ckpt_dir = Path(run_dir) / "checkpoints"
+        self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+        self._saver = ocp.StandardCheckpointer()
+
+    def save_epoch(self, epoch: int, state: Dict[str, Any]) -> Path:
+        """epoch_{epoch:03d} + refreshed ``last`` (save_last semantics of
+        configs/callbacks/model_checkpoint.yaml)."""
+        payload = _to_saveable(state)
+        path = self.ckpt_dir / f"epoch_{epoch:03d}"
+        self._saver.save(path.resolve(), payload, force=True)
+        self._saver.save((self.ckpt_dir / "last").resolve(), payload, force=True)
+        self._saver.wait_until_finished()
+        return path
+
+    def restore(
+        self, path: str | Path, template: Optional[Dict[str, Any]] = None
+    ) -> Dict[str, Any]:
+        """Restore a checkpoint; pass ``template`` (a state dict of the same
+        structure, e.g. a freshly initialized one) to reconstruct namedtuple-typed
+        nodes like the optax state — Orbax otherwise returns plain dicts."""
+        path = Path(path).resolve()
+        if template is not None:
+            target = jax.tree_util.tree_map(np.asarray, _to_saveable(template))
+            restored = self._saver.restore(path, target)
+        else:
+            restored = self._saver.restore(path)
+        return _from_saved(restored)
+
+    def latest(self) -> Optional[Path]:
+        last = self.ckpt_dir / "last"
+        if last.is_dir():
+            return last
+        epochs = sorted(self.ckpt_dir.glob("epoch_*"))
+        return epochs[-1] if epochs else None
+
+    def epoch_of(self, path: str | Path) -> Optional[int]:
+        match = re.search(r"epoch_(\d+)", str(path))
+        return int(match.group(1)) if match else None
+
+
+def save_ncentroid(run_dir: str | Path, ncentroid: np.ndarray) -> Path:
+    path = Path(run_dir) / "ncentroid.npy"
+    np.save(path, np.asarray(ncentroid))
+    return path
+
+
+def load_ncentroid(run_dir: str | Path) -> Optional[np.ndarray]:
+    path = Path(run_dir) / "ncentroid.npy"
+    return np.load(path) if path.is_file() else None

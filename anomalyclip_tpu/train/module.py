@@ -1,0 +1,490 @@
+"""The training/evaluation orchestrator: the Lightning-module + Trainer replacement.
+
+Covers the reference's AnomalyCLIPModule + pytorch_lightning.Trainer behavior
+(reference: src/models/anomaly_clip_module.py, src/train.py:37-110) as an explicit
+loop over jit-compiled steps:
+
+- ncentroid bootstrap over the normal training set, cached to ncentroid.npy
+  (anomaly_clip_module.py:134-171)
+- per-step: concat (abnormal, normal) halves -> forward -> 7-term loss -> AdamW
+  update with 4 LR groups (:173-296, :693-746); the whole step is ONE jitted
+  function, gradients and BN batch statistics reduced globally over the data mesh
+  by XLA (the DDP allreduce + sync-BN equivalents)
+- per-epoch: validation over the test set -> AUC/AP/mAUC/mAP -> metrics_{epoch}.json
+  (:301-404); Orbax checkpoint epoch_{e:03d} + last
+- test: artifacts (metrics.json + PNGs) via eval.artifacts (:500-691)
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from anomalyclip_tpu.config import ConfigNode
+from anomalyclip_tpu.data.datamodule import AnomalyCLIPDataModule, DataConfig
+from anomalyclip_tpu.data.loader import TrainBatch
+from anomalyclip_tpu.data.synthetic import generate_synthetic_dataset
+from anomalyclip_tpu.eval.artifacts import write_metrics_json, write_test_artifacts
+from anomalyclip_tpu.eval.evaluator import GridScorer, evaluate_videos
+from anomalyclip_tpu.eval.metrics import detection_metrics
+from anomalyclip_tpu.models.anomaly_clip import AnomalyCLIP, AnomalyCLIPConfig
+from anomalyclip_tpu.models.clip.registry import resolve_clip
+from anomalyclip_tpu.models.losses import LossConfig, compute_loss
+from anomalyclip_tpu.models.selector import BNState
+from anomalyclip_tpu.parallel.mesh import (
+    data_mesh,
+    replicate,
+    shard_train_batch,
+    usable_data_devices,
+)
+from anomalyclip_tpu.train.checkpoint import (
+    CheckpointManager,
+    load_ncentroid,
+    save_ncentroid,
+)
+from anomalyclip_tpu.train.optim import build_optimizer
+from anomalyclip_tpu.utils.logging import MetricLoggerSet, get_logger, is_host_zero
+
+log = get_logger(__name__)
+
+
+class TrainState(NamedTuple):
+    trainable: Any
+    opt_state: Any
+    bn_state: BNState
+    step: jnp.ndarray
+
+
+def _limit_count(total: int, limit) -> int:
+    if limit is None:
+        return total
+    if isinstance(limit, float) and limit <= 1.0:
+        return max(int(total * limit), 1)
+    return min(int(limit), total)
+
+
+def _net_config(net_cfg: Dict[str, Any]) -> AnomalyCLIPConfig:
+    import dataclasses
+
+    fields = {f.name for f in dataclasses.fields(AnomalyCLIPConfig)}
+    return AnomalyCLIPConfig(**{k: v for k, v in net_cfg.items() if k in fields})
+
+
+class AnomalyCLIPTrainModule:
+    """Owns model, data, optimizer, and the train/eval loops for one composed cfg."""
+
+    def __init__(self, cfg: ConfigNode):
+        self.cfg = cfg
+        self.seed = int(cfg.get("seed") or 0)
+        self.save_dir = Path(cfg.model.get("save_dir") or cfg.paths.output_dir)
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+
+        trainer_cfg = cfg.get("trainer", ConfigNode())
+        if trainer_cfg.get("detect_anomaly"):
+            jax.config.update("jax_debug_nans", True)
+
+        # --- data ----------------------------------------------------------
+        data_cfg_dict = dict(cfg.data)
+        net_cfg_dict = dict(cfg.model.net)
+        if data_cfg_dict.get("synthetic"):
+            clip_probe_dim = 64 if net_cfg_dict.get("clip_init") == "random" else 512
+            generate_synthetic_dataset(
+                frames_root=data_cfg_dict["frames_root"],
+                annotations_root=data_cfg_dict["annotations_root"],
+                num_normal=data_cfg_dict.get("synthetic_num_normal", 8),
+                num_abnormal=data_cfg_dict.get("synthetic_num_abnormal", 8),
+                num_test=data_cfg_dict.get("synthetic_num_test", 4),
+                num_classes=data_cfg_dict["num_classes"],
+                normal_id=data_cfg_dict["normal_id"],
+                feature_dim=clip_probe_dim,
+                min_frames=data_cfg_dict.get("synthetic_min_frames", 600),
+                max_frames=data_cfg_dict.get("synthetic_max_frames", 1400),
+                seed=self.seed,
+            )
+        self.datamodule = AnomalyCLIPDataModule(
+            DataConfig.from_dict(data_cfg_dict), seed=self.seed
+        )
+
+        # --- model ---------------------------------------------------------
+        clip_params, clip_cfg = resolve_clip(
+            arch=net_cfg_dict.get("arch", "ViT-B/16"),
+            clip_init=net_cfg_dict.get("clip_init", "pretrained"),
+            clip_ckpt_path=net_cfg_dict.get("clip_ckpt_path"),
+            seed=self.seed,
+        )
+        self.net_cfg = _net_config(net_cfg_dict)
+        self.model, self.frozen = AnomalyCLIP.build(self.net_cfg, clip_params, clip_cfg)
+        self.loss_cfg = LossConfig(
+            **{
+                k: v
+                for k, v in dict(cfg.model.loss).items()
+                if k in LossConfig.__dataclass_fields__
+            }
+        )
+
+        # --- mesh ----------------------------------------------------------
+        half_batch = self.datamodule.cfg.batch_size // 2
+        self.mesh = data_mesh(usable_data_devices(half_batch))
+        log.info(
+            f"data mesh: {self.mesh.shape} over {self.mesh.devices.ravel()[0].platform}"
+        )
+
+        self.ckpt = CheckpointManager(self.save_dir)
+        self.loggers = MetricLoggerSet(cfg.get("logger"), self.save_dir)
+        self.ncentroid: Optional[np.ndarray] = None
+        self._encode_frames_jit = None
+
+    # ------------------------------------------------------------------ data
+
+    def _frame_features(self, features: np.ndarray) -> np.ndarray:
+        """Encode raw frames to CLIP features for the ncentroid pass (frames path)."""
+        if self._encode_frames_jit is None:
+            self._encode_frames_jit = jax.jit(self.model.encode_frames)
+        chunks = []
+        chunk_size = 256
+        for i in range(0, len(features), chunk_size):
+            chunk = features[i : i + chunk_size]
+            pad = 0
+            if len(chunk) < chunk_size and len(features) > chunk_size:
+                pad = chunk_size - len(chunk)
+                chunk = np.concatenate([chunk, np.zeros_like(chunk[:1]).repeat(pad, 0)])
+            out = np.asarray(self._encode_frames_jit(self.frozen, jnp.asarray(chunk)))
+            chunks.append(out[: len(out) - pad if pad else len(out)])
+        return np.concatenate(chunks)
+
+    def compute_ncentroid(self, limit: Optional[int] = None) -> np.ndarray:
+        """Mean CLIP feature over every frame of the normal training videos
+        (anomaly_clip_module.py:134-171); cached as ncentroid.npy."""
+        cached = load_ncentroid(self.save_dir)
+        if cached is not None:
+            self.ncentroid = cached
+            return cached
+        log.info("computing ncentroid over normal training videos ...")
+        total = np.zeros(self.model.embedding_dim, dtype=np.float64)
+        count = 0
+        for item in self.datamodule.train_dataloader_test_mode(limit=limit):
+            feats = item.features  # (ncrops, t, D) or frames
+            flat = feats.reshape(-1, *feats.shape[2:])
+            flat = flat[: len(item.frame_labels)]  # drop padding frames (:155-157)
+            if not self.net_cfg.load_from_features:
+                flat = self._frame_features(flat)
+            total += flat.reshape(len(flat), -1).sum(axis=0, dtype=np.float64)
+            count += len(flat)
+        ncentroid = (total / max(count, 1)).astype(np.float32)
+        save_ncentroid(self.save_dir, ncentroid)
+        self.ncentroid = ncentroid
+        return ncentroid
+
+    # ----------------------------------------------------------------- train
+
+    def _build_train_step(self, tx: optax.GradientTransformation):
+        model, loss_cfg = self.model, self.loss_cfg
+
+        def train_step(frozen, state: TrainState, batch: TrainBatch, ncentroid, key):
+            features = jnp.concatenate(
+                [batch.abnormal_features, batch.normal_features], axis=0
+            )
+            labels = jnp.concatenate([batch.abnormal_labels, batch.normal_labels], axis=0)
+
+            def loss_fn(trainable):
+                out, new_bn = model.forward_train(
+                    frozen, trainable, state.bn_state, features, labels, ncentroid, key
+                )
+                terms = compute_loss(
+                    out.logits,
+                    out.logits_topk,
+                    labels,
+                    out.scores,
+                    out.idx_topk_abn,
+                    out.idx_topk_nor,
+                    out.idx_bottomk_abn,
+                    loss_cfg,
+                )
+                return terms.total, (terms, new_bn)
+
+            (_, (terms, new_bn)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.trainable
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
+            new_trainable = optax.apply_updates(state.trainable, updates)
+            new_state = TrainState(
+                trainable=new_trainable,
+                opt_state=new_opt,
+                bn_state=new_bn,
+                step=state.step + 1,
+            )
+            metrics = {
+                "train/loss": terms.total,
+                "train/dir_abn_loss": terms.ldir_abn,
+                "train/dir_nor_loss": terms.ldir_nor,
+                "train/topk_abn_loss": terms.ltopk_abn,
+                "train/bottomk_abn_loss": terms.lbottomk_abn,
+                "train/topk_nor_loss": terms.ltopk_nor,
+                "train/smooth_loss": terms.lsmooth,
+                "train/sparse_loss": terms.lsparse,
+            }
+            return new_state, metrics
+
+        return jax.jit(train_step, donate_argnums=(1,))
+
+    def _prepare_batch(self, batch: TrainBatch) -> TrainBatch:
+        """Squeeze the ncrops axis (anomaly_clip.py:178 squeeze) and shard halves
+        over the data mesh."""
+        def squeeze(x):
+            return x[:, 0] if x.ndim >= 3 and x.shape[1] == 1 else x
+
+        batch = TrainBatch(
+            abnormal_features=squeeze(batch.abnormal_features),
+            abnormal_labels=batch.abnormal_labels,
+            normal_features=squeeze(batch.normal_features),
+            normal_labels=batch.normal_labels,
+        )
+        return shard_train_batch(batch, self.mesh)
+
+    def init_state(self, tx: optax.GradientTransformation) -> TrainState:
+        trainable, bn_state = self.model.init_trainable(
+            jax.random.PRNGKey(self.seed), self.frozen
+        )
+        opt_state = tx.init(trainable)
+        return TrainState(
+            trainable=trainable,
+            opt_state=opt_state,
+            bn_state=bn_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def fit(self) -> Dict[str, Any]:
+        cfg = self.cfg
+        trainer_cfg = cfg.get("trainer", ConfigNode())
+        fast_dev_run = bool(trainer_cfg.get("fast_dev_run"))
+        max_epochs = 1 if fast_dev_run else int(trainer_cfg.get("max_epochs", 50))
+
+        profiler = trainer_cfg.get("profiler")
+        if profiler == "jax" and is_host_zero():
+            jax.profiler.start_trace(str(self.save_dir / "profile"))
+
+        self.compute_ncentroid(
+            limit=1 if fast_dev_run else None
+        )
+
+        train_loader = self.datamodule.train_dataloader()
+        steps_per_epoch = _limit_count(
+            len(train_loader), trainer_cfg.get("limit_train_batches")
+        )
+        if fast_dev_run:
+            steps_per_epoch = 1
+        if steps_per_epoch == 0:
+            raise RuntimeError("empty train loader (batch_size larger than dataset?)")
+
+        tx = build_optimizer(
+            dict(cfg.model.solver),
+            dict(cfg.model.get("optimizer", {})),
+            dict(cfg.model.get("scheduler", {})),
+            steps_per_epoch,
+        )
+        train_step = self._build_train_step(tx)
+
+        state = self.init_state(tx)
+        start_epoch = 0
+        ckpt_path = cfg.get("ckpt_path")
+        if ckpt_path:
+            template = {
+                "trainable": state.trainable,
+                "opt_state": state.opt_state,
+                "bn_state": state.bn_state,
+                "step": np.zeros((), np.int32),
+                "epoch": np.zeros((), np.int64),
+            }
+            restored = self.ckpt.restore(ckpt_path, template=template)
+            state = TrainState(
+                trainable=restored["trainable"],
+                opt_state=restored["opt_state"],
+                bn_state=BNState(
+                    jnp.asarray(restored["bn_state"].mean),
+                    jnp.asarray(restored["bn_state"].var),
+                ),
+                step=jnp.asarray(restored["step"], jnp.int32),
+            )
+            start_epoch = int(restored["epoch"]) + 1
+            log.info(f"resumed from {ckpt_path} at epoch {start_epoch}")
+
+        state = replicate(state, self.mesh)
+        frozen = replicate(self.frozen, self.mesh)
+        ncentroid = replicate(jnp.asarray(self.ncentroid), self.mesh)
+
+        key = jax.random.PRNGKey(self.seed + 17)
+        last_val: Dict[str, Any] = {}
+
+        for epoch in range(start_epoch, max_epochs):
+            train_loader.set_epoch(epoch)
+            epoch_metrics: Dict[str, float] = {}
+            count = 0
+            t0 = time.time()
+            for batch_idx, batch in enumerate(train_loader):
+                if batch_idx >= steps_per_epoch:
+                    break
+                key, step_key = jax.random.split(key)
+                state, metrics = train_step(
+                    frozen, state, self._prepare_batch(batch), ncentroid, step_key
+                )
+                for name, value in metrics.items():
+                    epoch_metrics[name] = epoch_metrics.get(name, 0.0) + float(value)
+                count += 1
+            epoch_metrics = {k: v / max(count, 1) for k, v in epoch_metrics.items()}
+            epoch_metrics["train/epoch_time_s"] = time.time() - t0
+            log.info(
+                f"epoch {epoch}: loss={epoch_metrics.get('train/loss', float('nan')):.4f} "
+                f"({count} steps, {epoch_metrics['train/epoch_time_s']:.1f}s)"
+            )
+            self.loggers.log_metrics(epoch_metrics, step=epoch)
+
+            # ---- validation (every epoch, like the reference) ----
+            check_every = int(trainer_cfg.get("check_val_every_n_epoch", 1) or 1)
+            if (epoch + 1) % check_every == 0:
+                val_limit = _limit_count(
+                    len(self.datamodule.val_dataloader()),
+                    1 if fast_dev_run else trainer_cfg.get("limit_val_batches"),
+                )
+                last_val = self.validate(state, epoch, limit=val_limit)
+                self.loggers.log_metrics(
+                    {
+                        f"test/{k}": last_val[j]
+                        for k, j in [
+                            ("AUC", "auc_roc"),
+                            ("AP", "auc_pr"),
+                            ("mAUC", "mean_mc_auroc"),
+                            ("mAP", "mean_mc_aupr"),
+                        ]
+                        if j in last_val and np.isfinite(last_val[j])
+                    },
+                    step=epoch,
+                )
+
+            if not fast_dev_run and is_host_zero():
+                self.ckpt.save_epoch(
+                    epoch,
+                    {
+                        "trainable": state.trainable,
+                        "opt_state": state.opt_state,
+                        "bn_state": state.bn_state,
+                        "step": np.asarray(state.step),
+                        "epoch": np.asarray(epoch),
+                    },
+                )
+
+        if profiler == "jax" and is_host_zero():
+            jax.profiler.stop_trace()
+
+        self._final_state = state
+        self.loggers.finalize()
+        return last_val
+
+    # ------------------------------------------------------------------ eval
+
+    def _scorer(self, state: TrainState) -> GridScorer:
+        return GridScorer(
+            self.model,
+            self.frozen,
+            state.trainable,
+            state.bn_state,
+            jnp.asarray(self.ncentroid),
+        )
+
+    def validate(self, state: TrainState, epoch: int, limit: Optional[int] = None) -> Dict:
+        """Validation epoch -> detection metrics + metrics_{epoch}.json
+        (anomaly_clip_module.py:301-404)."""
+        scorer = self._scorer(state)
+        outputs = evaluate_videos(
+            self.datamodule.val_dataloader(limit=limit), scorer, self.model
+        )
+        det = detection_metrics(
+            outputs["abnormal_scores"],
+            outputs["labels"],
+            outputs["class_probs"],
+            self.net_cfg.normal_id,
+            self.datamodule.num_classes,
+        )
+        metrics = {
+            "epoch": epoch,
+            "auc_roc": det["auc_roc"],
+            "auc_pr": det["auc_pr"],
+            "mean_mc_auroc": det["mean_mc_auroc"],
+            "mean_mc_aupr": det["mean_mc_aupr"],
+            "mc_auroc": det["mc_auroc"],
+            "mc_aupr": det["mc_aupr"],
+            "optimal_threshold": det["optimal_threshold"],
+        }
+        if is_host_zero():
+            write_metrics_json(self.save_dir, metrics, epoch=epoch)
+        log.info(
+            f"val epoch {epoch}: AUC={det['auc_roc']:.4f} AP={det['auc_pr']:.4f} "
+            f"mAUC={det['mean_mc_auroc']:.4f} mAP={det['mean_mc_aupr']:.4f}"
+        )
+        return metrics
+
+    def test(
+        self,
+        ckpt_path: Optional[str] = None,
+        state: Optional[TrainState] = None,
+        limit: Optional[int] = None,
+    ) -> Dict:
+        """Full test pass + artifacts (anomaly_clip_module.py:459-691)."""
+        if state is None:
+            if ckpt_path is None:
+                raise ValueError("test() needs a checkpoint path or a TrainState")
+            restored = self.ckpt.restore(ckpt_path)
+            state = TrainState(
+                trainable=restored["trainable"],
+                opt_state=None,
+                bn_state=restored["bn_state"],
+                step=jnp.asarray(restored["step"], jnp.int32),
+            )
+        if self.ncentroid is None:
+            self.compute_ncentroid()
+
+        trainer_cfg = self.cfg.get("trainer", ConfigNode())
+        limit = limit if limit is not None else trainer_cfg.get("limit_test_batches")
+        test_loader = self.datamodule.test_dataloader(
+            limit=_limit_count(len(self.datamodule.test_dataloader()), limit)
+        )
+
+        on_video = None
+        if self.datamodule.cfg.visualize:
+            from anomalyclip_tpu.eval.visualizer import Visualizer
+
+            viz = Visualizer(
+                normal_id=self.net_cfg.normal_id,
+                labels_file=self.datamodule.cfg.labels_file,
+                image_tmpl=self.datamodule.cfg.image_tmpl,
+                save_dir=self.save_dir,
+            )
+            on_video = viz.process_video
+
+        scorer = self._scorer(state)
+        outputs = evaluate_videos(test_loader, scorer, self.model, on_video=on_video)
+
+        metrics = {}
+        if is_host_zero():
+            from anomalyclip_tpu.models.anomaly_clip import read_classnames
+
+            metrics = write_test_artifacts(
+                self.save_dir,
+                outputs["abnormal_scores"],
+                outputs["labels"],
+                outputs["class_probs"],
+                self.net_cfg.normal_id,
+                self.datamodule.num_classes,
+                read_classnames(self.datamodule.cfg.labels_file),
+            )
+            log.info(
+                f"test: AUC={metrics['auc_roc']:.4f} AP={metrics['auc_pr']:.4f} "
+                f"(artifacts in {self.save_dir})"
+            )
+        return metrics

@@ -1,0 +1,138 @@
+"""Logging: host-0-only console logger + pluggable metric backends.
+
+Replaces the reference's rank-zero pylogger + 7 Lightning logger backends
+(reference: src/utils/pylogger.py:6-25, configs/logger/*). Backends degrade
+gracefully: CSV always works; wandb/tensorboard attach only when importable (this
+environment has no egress, so wandb silently falls back)."""
+
+from __future__ import annotations
+
+import csv
+import logging
+import sys
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+
+
+def is_host_zero() -> bool:
+    return jax.process_index() == 0
+
+
+def get_logger(name: str = "anomalyclip_tpu") -> logging.Logger:
+    """Console logger that only emits on host 0 (pylogger.py:15-24 analogue)."""
+    logger = logging.getLogger(name)
+    if not logger.handlers:
+        handler = logging.StreamHandler(sys.stdout)
+        handler.setFormatter(
+            logging.Formatter("[%(asctime)s][%(name)s][%(levelname)s] %(message)s")
+        )
+        logger.addHandler(handler)
+        logger.setLevel(logging.INFO if is_host_zero() else logging.WARNING)
+        logger.propagate = False
+    return logger
+
+
+class CSVMetricLogger:
+    """Append-only metrics.csv, one row per log call (configs/logger/csv.yaml)."""
+
+    def __init__(self, save_dir: str | Path, name: str = "csv"):
+        self.dir = Path(save_dir) / name
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.path = self.dir / "metrics.csv"
+        self._fieldnames: Optional[List[str]] = None
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        row = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        new_fields = sorted(row.keys())
+        if self._fieldnames is None or any(f not in self._fieldnames for f in new_fields):
+            self._rewrite_with_fields(new_fields)
+        with open(self.path, "a", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=self._fieldnames)
+            writer.writerow(row)
+
+    def _rewrite_with_fields(self, new_fields: List[str]) -> None:
+        old_rows: List[Dict] = []
+        if self._fieldnames is not None and self.path.is_file():
+            with open(self.path) as f:
+                old_rows = list(csv.DictReader(f))
+        merged = sorted(set(new_fields) | set(self._fieldnames or []))
+        with open(self.path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=merged)
+            writer.writeheader()
+            for row in old_rows:
+                writer.writerow(row)
+        self._fieldnames = merged
+
+    def finalize(self) -> None:
+        pass
+
+
+class TensorBoardMetricLogger:
+    def __init__(self, save_dir: str | Path, name: Optional[str] = None):
+        from tensorflow.summary import create_file_writer  # lazy; tf is heavy
+
+        self._writer = create_file_writer(str(Path(save_dir) / (name or "")))
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        import tensorflow as tf
+
+        with self._writer.as_default():
+            for key, value in metrics.items():
+                tf.summary.scalar(key, float(value), step=step)
+
+    def finalize(self) -> None:
+        self._writer.close()
+
+
+class WandbMetricLogger:
+    def __init__(self, save_dir, project: str, name: Optional[str], offline: bool = False):
+        import wandb
+
+        self._run = wandb.init(
+            project=project, name=name, dir=str(save_dir), mode="offline" if offline else None
+        )
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        self._run.log(metrics, step=step)
+
+    def finalize(self) -> None:
+        self._run.finish()
+
+
+class MetricLoggerSet:
+    """Fan-out to every configured backend; host 0 only."""
+
+    def __init__(self, logger_cfg: Optional[Dict], save_dir: str | Path):
+        self.backends = []
+        if not is_host_zero() or not logger_cfg:
+            return
+        log = get_logger(__name__)
+        for kind, kwargs in (logger_cfg or {}).items():
+            try:
+                if kind == "csv":
+                    self.backends.append(CSVMetricLogger(kwargs.get("save_dir", save_dir)))
+                elif kind == "tensorboard":
+                    self.backends.append(
+                        TensorBoardMetricLogger(kwargs.get("save_dir", save_dir))
+                    )
+                elif kind == "wandb":
+                    self.backends.append(
+                        WandbMetricLogger(
+                            kwargs.get("save_dir", save_dir),
+                            kwargs.get("project", "AnomalyCLIP-TPU"),
+                            kwargs.get("name"),
+                            kwargs.get("offline", False),
+                        )
+                    )
+            except Exception as exc:  # degrade, never kill training over logging
+                log.warning(f"logger backend {kind!r} unavailable: {exc}")
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        for backend in self.backends:
+            backend.log_metrics(metrics, step)
+
+    def finalize(self) -> None:
+        for backend in self.backends:
+            backend.finalize()

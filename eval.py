@@ -1,0 +1,40 @@
+#!/usr/bin/env python
+"""Evaluation entry point.
+
+Same invocation contract as the reference (reference: src/eval.py:33-89):
+
+    python eval.py data=ucfcrime model=anomaly_clip_ucfcrime \
+        ckpt_path=logs/train/runs/ucfcrime/checkpoints/last
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+
+def main(argv=None) -> dict:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if any(a in ("trainer=cpu", "trainer.accelerator=cpu") for a in argv):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    os.environ.setdefault("PROJECT_ROOT", str(Path(__file__).resolve().parent))
+
+    from anomalyclip_tpu.config import compose
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    cfg = compose(Path(__file__).parent / "configs", "eval", argv)
+    ckpt_path = cfg.get("ckpt_path")
+    if not ckpt_path or ckpt_path == "???":
+        raise SystemExit("eval.py requires ckpt_path=...")
+
+    module = AnomalyCLIPTrainModule(cfg)
+    return module.test(ckpt_path=ckpt_path)
+
+
+if __name__ == "__main__":
+    main()

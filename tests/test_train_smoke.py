@@ -1,0 +1,79 @@
+"""End-to-end training smoke tests on the synthetic corpus (CPU), mirroring the
+reference's fast-dev-run / resume / train->eval-parity test shape (SURVEY.md §4)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tests.helpers.synthetic_run import synthetic_cfg
+
+
+@pytest.mark.slow
+def test_fast_dev_run(tmp_path):
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    cfg = synthetic_cfg(tmp_path, "trainer.fast_dev_run=True")
+    module = AnomalyCLIPTrainModule(cfg)
+    metrics = module.fit()
+    assert "auc_roc" in metrics
+
+
+@pytest.mark.slow
+def test_train_checkpoints_and_metrics_artifacts(tmp_path):
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    cfg = synthetic_cfg(tmp_path, "trainer.max_epochs=1")
+    module = AnomalyCLIPTrainModule(cfg)
+    metrics = module.fit()
+    assert np.isfinite(metrics["auc_roc"])
+
+    run_dir = module.save_dir
+    assert (run_dir / "checkpoints" / "epoch_000").is_dir()
+    assert (run_dir / "checkpoints" / "last").is_dir()
+    assert (run_dir / "ncentroid.npy").is_file()
+    with open(run_dir / "metrics_0.json") as f:
+        logged = json.load(f)
+    assert logged["auc_roc"] == pytest.approx(metrics["auc_roc"])
+
+
+@pytest.mark.slow
+def test_resume_from_checkpoint(tmp_path):
+    """Train 1 epoch, resume for a 2nd: epoch_001 appears and state carries on
+    (reference: tests/test_train.py:63-88)."""
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    cfg = synthetic_cfg(tmp_path, "trainer.max_epochs=1")
+    module = AnomalyCLIPTrainModule(cfg)
+    module.fit()
+    last = module.ckpt.latest()
+    assert last is not None
+
+    cfg2 = synthetic_cfg(tmp_path, "trainer.max_epochs=2", f"ckpt_path={last}")
+    module2 = AnomalyCLIPTrainModule(cfg2)
+    module2.fit()
+    assert (module2.save_dir / "checkpoints" / "epoch_001").is_dir()
+    restored = module2.ckpt.restore(module2.save_dir / "checkpoints" / "epoch_001")
+    assert int(restored["epoch"]) == 1
+    first = module2.ckpt.restore(module2.save_dir / "checkpoints" / "epoch_000")
+    assert int(restored["step"]) > int(first["step"])
+
+
+@pytest.mark.slow
+def test_train_then_eval_parity(tmp_path):
+    """Metrics from the in-process test() equal a fresh eval of the same checkpoint
+    (reference: tests/test_eval.py:11-32, tolerance 1e-3; ours is exact)."""
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    cfg = synthetic_cfg(tmp_path, "trainer.max_epochs=1")
+    module = AnomalyCLIPTrainModule(cfg)
+    module.fit()
+    train_test_metrics = module.test(state=module._final_state)
+
+    # fresh module, eval from the saved checkpoint (ncentroid reloaded from disk)
+    cfg2 = synthetic_cfg(tmp_path, "trainer.max_epochs=1")
+    module2 = AnomalyCLIPTrainModule(cfg2)
+    eval_metrics = module2.test(ckpt_path=module.ckpt.latest())
+
+    assert eval_metrics["auc_roc"] == pytest.approx(train_test_metrics["auc_roc"], abs=1e-3)
+    assert eval_metrics["auc_pr"] == pytest.approx(train_test_metrics["auc_pr"], abs=1e-3)
