@@ -30,6 +30,9 @@ from anomalyclip_tpu.data.sources import FeatureSource, FrameSource
 class TestItem(NamedTuple):
     """One test video (feature_dataset.py:373-376)."""
 
+    # not a pytest class (the name triggers collection otherwise)
+    __test__ = False
+
     features: np.ndarray  # (ncrops, n*s*l, D) or frames (1, n*s*l, H, W, 3)
     frame_labels: np.ndarray  # (T,) per-frame class labels (true length)
     video_label: int

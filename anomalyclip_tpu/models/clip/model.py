@@ -154,7 +154,12 @@ def _block_apply(x: jnp.ndarray, blk: Params, num_heads: int, causal: bool) -> j
 def transformer_apply(
     x: jnp.ndarray, blocks: Params, num_heads: int, causal: bool = False
 ) -> jnp.ndarray:
-    """Apply a stack of residual blocks (leading ``layers`` axis) via lax.scan."""
+    """Apply a stack of residual blocks (leading ``layers`` axis) via lax.scan.
+
+    Weights are cast to the activation dtype so a bfloat16 activation stream stays
+    bfloat16 end-to-end (LayerNorm still computes in fp32 internally).
+    """
+    blocks = jax.tree_util.tree_map(lambda w: w.astype(x.dtype), blocks)
 
     def body(carry, blk):
         return _block_apply(carry, blk, num_heads, causal), None

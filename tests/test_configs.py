@@ -1,0 +1,69 @@
+"""Config-composition schema tests (reference shape: tests/test_configs.py:6-29)."""
+
+from pathlib import Path
+
+import pytest
+
+from anomalyclip_tpu.config import compose
+
+CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs"
+
+EXPERIMENTS = ["ucfcrime", "shanghaitech", "xdviolence", "synthetic"]
+
+
+@pytest.mark.parametrize("experiment", EXPERIMENTS)
+def test_experiment_composes(experiment, monkeypatch, tmp_path):
+    monkeypatch.setenv("PROJECT_ROOT", str(CONFIG_DIR.parent))
+    cfg = compose(CONFIG_DIR, "train", [f"experiment={experiment}"])
+    assert cfg.exp_name == experiment
+    assert cfg.data.num_classes == cfg.model.num_classes
+    assert cfg.model.net.normal_id == cfg.data.normal_id
+    assert cfg.model.loss.frames_per_segment == cfg.data.seg_length
+    assert Path(cfg.data.labels_file).is_file()
+    assert cfg.seed == 1024
+
+
+def test_dataset_model_pairings():
+    cfg = compose(CONFIG_DIR, "train", ["experiment=shanghaitech"])
+    assert cfg.model.net.concat_features is True
+    assert cfg.model.net.depth == 2
+    assert cfg.model.solver.lr == pytest.approx(5e-4)
+
+    cfg = compose(CONFIG_DIR, "train", ["experiment=xdviolence"])
+    assert cfg.model.net.emb_size == 128
+    assert cfg.data.normal_id == 4
+    assert cfg.model.solver.lr == pytest.approx(5e-6)
+
+    cfg = compose(CONFIG_DIR, "train", ["experiment=ucfcrime"])
+    assert cfg.model.net.emb_size == 256
+    assert cfg.data.num_classes == 14
+    assert cfg.model.scheduler.warmup_epochs == 5
+
+
+def test_cli_override_precedence():
+    cfg = compose(
+        CONFIG_DIR,
+        "train",
+        ["experiment=ucfcrime", "model.net.emb_size=64", "trainer.max_epochs=7", "seed=3"],
+    )
+    assert cfg.model.net.emb_size == 64
+    assert cfg.trainer.max_epochs == 7
+    assert cfg.seed == 3
+
+
+def test_eval_root_composes():
+    cfg = compose(
+        CONFIG_DIR,
+        "eval",
+        ["data=ucfcrime", "model=anomaly_clip_ucfcrime", "ckpt_path=/tmp/ck"],
+    )
+    assert cfg.ckpt_path == "/tmp/ck"
+    assert cfg.task_name == "eval"
+
+
+def test_debug_bundles_override_experiment():
+    cfg = compose(CONFIG_DIR, "train", ["experiment=synthetic", "debug=limit"])
+    assert cfg.trainer.max_epochs == 3
+    assert cfg.trainer.limit_train_batches == 0.05
+    cfg = compose(CONFIG_DIR, "train", ["experiment=synthetic", "debug=fdr"])
+    assert cfg.trainer.fast_dev_run is True
