@@ -110,6 +110,46 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+_ATTENTION_IMPL = "auto"  # "auto" | "xla" | "pallas"
+
+
+def set_attention_impl(impl: str) -> None:
+    """Select the attention core: "xla" (einsum path), "pallas" (fused VMEM
+    kernel, see ops/pallas/attention.py), or "auto" (pallas on TPU backends).
+    Env var ANOMALYCLIP_ATTN_IMPL overrides."""
+    global _ATTENTION_IMPL
+    assert impl in ("auto", "xla", "pallas"), impl
+    _ATTENTION_IMPL = impl
+
+
+def _attention_impl() -> str:
+    import os
+
+    impl = os.environ.get("ANOMALYCLIP_ATTN_IMPL", _ATTENTION_IMPL)
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return impl
+
+
+def attention_core(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, causal: bool = False
+) -> jnp.ndarray:
+    """softmax(q k^T / sqrt(dh)) v over (B, H, L, Dh); fp32 softmax either way."""
+    if _attention_impl() == "pallas":
+        from anomalyclip_tpu.ops.pallas.attention import fused_attention
+
+        return fused_attention(q, k, v, causal=causal)
+    head_dim = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / math.sqrt(head_dim))
+    if causal:
+        l = q.shape[2]
+        mask = jnp.tril(jnp.ones((l, l), dtype=bool))
+        scores = jnp.where(mask, scores, -jnp.inf)
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
 def multi_head_attention(
     x: jnp.ndarray,
     attn: Params,
@@ -129,14 +169,7 @@ def multi_head_attention(
     def split_heads(t):
         return t.reshape(b, l, num_heads, head_dim).transpose(0, 2, 1, 3)
 
-    q, k, v = split_heads(q), split_heads(k), split_heads(v)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    scores = scores * (1.0 / math.sqrt(head_dim))
-    if causal:
-        mask = jnp.tril(jnp.ones((l, l), dtype=bool))
-        scores = jnp.where(mask, scores, -jnp.inf)
-    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    out = attention_core(split_heads(q), split_heads(k), split_heads(v), causal)
     out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
     return out @ attn["out_w"] + attn["out_b"]
 
