@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Micro-benchmarks with carry-chained iterations (reliable under async dispatch).
+
+Every iteration's input depends on the previous output, so the timed loop cannot
+be elided or overlapped away; a final float() blocks on the whole chain.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def chain_time(step_fn, carry0, iters=10):
+    """step_fn(carry) -> scalar fp32 carry. Returns sec/iter."""
+    carry = step_fn(carry0)
+    float(carry)  # compile + warmup
+    carry = carry0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry = step_fn(carry)
+    float(carry)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform}:{dev.device_kind}")
+    rng = np.random.default_rng(0)
+
+    from anomalyclip_tpu.models.clip import model as M
+    from anomalyclip_tpu.models.clip.model import CLIPConfig, init_clip_params
+
+    cfg = CLIPConfig.vit_b16()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    batch = int(os.environ.get("BATCH", "256"))
+    frames = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)), jnp.bfloat16)
+    gflops_frame = 35.2
+
+    # 1. peak bf16 matmul (8k cube, carry-chained)
+    a = jnp.asarray(rng.standard_normal((8192, 8192)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((8192, 8192)), jnp.bfloat16)
+
+    @jax.jit
+    def mm_step(carry):
+        out = (a + carry.astype(jnp.bfloat16)) @ b
+        return out[0, 0].astype(jnp.float32)
+
+    dt = chain_time(mm_step, jnp.zeros((), jnp.float32))
+    print(f"matmul 8192^3 bf16: {dt*1e3:.2f} ms -> {2*8192**3/dt/1e12:.1f} TFLOP/s")
+
+    # 2. full encode, xla attention
+    M.set_attention_impl("xla")
+
+    @jax.jit
+    def enc_step(carry):
+        out = M.encode_image(params, cfg, frames + carry.astype(jnp.bfloat16) * 0,
+                             compute_dtype=jnp.bfloat16)
+        return out[0, 0].astype(jnp.float32)
+
+    dt = chain_time(enc_step, jnp.zeros((), jnp.float32))
+    print(f"encode XLA-attn  b={batch}: {dt*1e3:7.2f} ms  {batch/dt:9,.0f} fps  "
+          f"{batch*gflops_frame/dt/1e3:.1f} TFLOP/s")
+
+    # 3. encode with attention as identity
+    orig = M.attention_core
+    M.attention_core = lambda q, k, v, causal=False: v
+
+    @jax.jit
+    def enc_noattn_step(carry):
+        out = M.encode_image(params, cfg, frames + carry.astype(jnp.bfloat16) * 0,
+                             compute_dtype=jnp.bfloat16)
+        return out[0, 0].astype(jnp.float32)
+
+    dt = chain_time(enc_noattn_step, jnp.zeros((), jnp.float32))
+    M.attention_core = orig
+    print(f"encode NO-attn   b={batch}: {dt*1e3:7.2f} ms  {batch/dt:9,.0f} fps")
+
+    # 4. encode with pallas attention
+    M.set_attention_impl("pallas")
+
+    @jax.jit
+    def enc_pl_step(carry):
+        out = M.encode_image(params, cfg, frames + carry.astype(jnp.bfloat16) * 0,
+                             compute_dtype=jnp.bfloat16)
+        return out[0, 0].astype(jnp.float32)
+
+    dt = chain_time(enc_pl_step, jnp.zeros((), jnp.float32))
+    print(f"encode PALLAS    b={batch}: {dt*1e3:7.2f} ms  {batch/dt:9,.0f} fps")
+    M.set_attention_impl("auto")
+
+
+if __name__ == "__main__":
+    main()
