@@ -439,13 +439,48 @@ class AnomalyCLIPTrainModule:
         if state is None:
             if ckpt_path is None:
                 raise ValueError("test() needs a checkpoint path or a TrainState")
-            restored = self.ckpt.restore(ckpt_path)
-            state = TrainState(
-                trainable=restored["trainable"],
-                opt_state=None,
-                bn_state=restored["bn_state"],
-                step=jnp.asarray(restored["step"], jnp.int32),
-            )
+            if str(ckpt_path).endswith(".ckpt") and Path(ckpt_path).is_file():
+                # released reference checkpoint (Lightning .ckpt): convert in place
+                # (reference contract: src/eval.py:73, README.md:72-76). The model is
+                # rebuilt around the checkpoint's own CLIP weights/shapes so the
+                # eval is self-contained regardless of the session's clip_init.
+                import dataclasses
+
+                from anomalyclip_tpu.convert_ckpt import convert_lightning_checkpoint
+
+                frozen, trainable, bn_state = convert_lightning_checkpoint(ckpt_path)
+                from anomalyclip_tpu.models.clip.convert import config_from_state_dict
+                from anomalyclip_tpu.convert_ckpt import (
+                    clip_state_dict_from_lightning,
+                    load_lightning_state_dict,
+                )
+
+                ckpt_clip_cfg = config_from_state_dict(
+                    clip_state_dict_from_lightning(load_lightning_state_dict(ckpt_path))
+                )
+                n_ctx = int(np.asarray(trainable["prompt_ctx"]).shape[-2])
+                if ckpt_clip_cfg != self.model.clip_cfg or n_ctx != self.net_cfg.n_ctx:
+                    self.net_cfg = dataclasses.replace(self.net_cfg, n_ctx=n_ctx)
+                    self.model, _ = AnomalyCLIP.build(
+                        self.net_cfg, frozen["clip"], ckpt_clip_cfg
+                    )
+                self.frozen = jax.tree_util.tree_map(jnp.asarray, frozen)
+                state = TrainState(
+                    trainable=jax.tree_util.tree_map(jnp.asarray, trainable),
+                    opt_state=None,
+                    bn_state=BNState(
+                        jnp.asarray(bn_state.mean), jnp.asarray(bn_state.var)
+                    ),
+                    step=jnp.zeros((), jnp.int32),
+                )
+            else:
+                restored = self.ckpt.restore(ckpt_path)
+                state = TrainState(
+                    trainable=restored["trainable"],
+                    opt_state=None,
+                    bn_state=restored["bn_state"],
+                    step=jnp.asarray(restored["step"], jnp.int32),
+                )
         if self.ncentroid is None:
             self.compute_ncentroid()
 

@@ -2,7 +2,9 @@
 """Micro-benchmarks with carry-chained iterations (reliable under async dispatch).
 
 Every iteration's input depends on the previous output, so the timed loop cannot
-be elided or overlapped away; a final float() blocks on the whole chain.
+be elided or overlapped away; a final float() blocks on the whole chain. All big
+arrays are jit *arguments* (closed-over constants blow up the remote-compile
+payload on the axon tunnel).
 """
 
 from __future__ import annotations
@@ -19,14 +21,13 @@ import jax
 import jax.numpy as jnp
 
 
-def chain_time(step_fn, carry0, iters=10):
-    """step_fn(carry) -> scalar fp32 carry. Returns sec/iter."""
-    carry = step_fn(carry0)
-    float(carry)  # compile + warmup
+def chain_time(step_fn, args, carry0, iters=10):
+    """step_fn(*args, carry) -> scalar fp32 carry. Returns sec/iter."""
+    float(step_fn(*args, carry0))  # compile + warmup
     carry = carry0
     t0 = time.perf_counter()
     for _ in range(iters):
-        carry = step_fn(carry)
+        carry = step_fn(*args, carry)
     float(carry)
     return (time.perf_counter() - t0) / iters
 
@@ -46,56 +47,42 @@ def main():
     frames = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)), jnp.bfloat16)
     gflops_frame = 35.2
 
-    # 1. peak bf16 matmul (8k cube, carry-chained)
+    # 1. peak bf16 matmul (8k cube)
     a = jnp.asarray(rng.standard_normal((8192, 8192)), jnp.bfloat16)
     b = jnp.asarray(rng.standard_normal((8192, 8192)), jnp.bfloat16)
 
     @jax.jit
-    def mm_step(carry):
+    def mm_step(a, b, carry):
         out = (a + carry.astype(jnp.bfloat16)) @ b
         return out[0, 0].astype(jnp.float32)
 
-    dt = chain_time(mm_step, jnp.zeros((), jnp.float32))
+    dt = chain_time(mm_step, (a, b), jnp.zeros((), jnp.float32))
     print(f"matmul 8192^3 bf16: {dt*1e3:.2f} ms -> {2*8192**3/dt/1e12:.1f} TFLOP/s")
 
-    # 2. full encode, xla attention
+    def encode_bench(label):
+        @jax.jit
+        def step(p, fr, carry):
+            out = M.encode_image(p, cfg, fr + carry.astype(jnp.bfloat16) * 0,
+                                 compute_dtype=jnp.bfloat16)
+            return out[0, 0].astype(jnp.float32)
+
+        dt = chain_time(step, (params, frames), jnp.zeros((), jnp.float32))
+        print(f"encode {label:9s} b={batch}: {dt*1e3:7.2f} ms  {batch/dt:9,.0f} fps  "
+              f"{batch*gflops_frame/dt/1e3:5.1f} TFLOP/s")
+        return dt
+
     M.set_attention_impl("xla")
+    encode_bench("XLA-attn")
 
-    @jax.jit
-    def enc_step(carry):
-        out = M.encode_image(params, cfg, frames + carry.astype(jnp.bfloat16) * 0,
-                             compute_dtype=jnp.bfloat16)
-        return out[0, 0].astype(jnp.float32)
-
-    dt = chain_time(enc_step, jnp.zeros((), jnp.float32))
-    print(f"encode XLA-attn  b={batch}: {dt*1e3:7.2f} ms  {batch/dt:9,.0f} fps  "
-          f"{batch*gflops_frame/dt/1e3:.1f} TFLOP/s")
-
-    # 3. encode with attention as identity
     orig = M.attention_core
     M.attention_core = lambda q, k, v, causal=False: v
+    try:
+        encode_bench("NO-attn")
+    finally:
+        M.attention_core = orig
 
-    @jax.jit
-    def enc_noattn_step(carry):
-        out = M.encode_image(params, cfg, frames + carry.astype(jnp.bfloat16) * 0,
-                             compute_dtype=jnp.bfloat16)
-        return out[0, 0].astype(jnp.float32)
-
-    dt = chain_time(enc_noattn_step, jnp.zeros((), jnp.float32))
-    M.attention_core = orig
-    print(f"encode NO-attn   b={batch}: {dt*1e3:7.2f} ms  {batch/dt:9,.0f} fps")
-
-    # 4. encode with pallas attention
     M.set_attention_impl("pallas")
-
-    @jax.jit
-    def enc_pl_step(carry):
-        out = M.encode_image(params, cfg, frames + carry.astype(jnp.bfloat16) * 0,
-                             compute_dtype=jnp.bfloat16)
-        return out[0, 0].astype(jnp.float32)
-
-    dt = chain_time(enc_pl_step, jnp.zeros((), jnp.float32))
-    print(f"encode PALLAS    b={batch}: {dt*1e3:7.2f} ms  {batch/dt:9,.0f} fps")
+    encode_bench("PALLAS")
     M.set_attention_impl("auto")
 
 

@@ -43,3 +43,49 @@ def test_fused_matches_reference_bf16():
     want = np.asarray(_reference_attention(q, k, v)).astype(np.float32)
     got = np.asarray(fused_attention(q, k, v, interpret=True)).astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+def _reference_mha_bld(q, k, v, num_heads, causal=False):
+    b, l, d = q.shape
+    dh = d // num_heads
+    sh = lambda t: t.reshape(b, l, num_heads, dh).transpose(0, 2, 1, 3)
+    out = _reference_attention(sh(q), sh(k), sh(v), causal)
+    return out.transpose(0, 2, 1, 3).reshape(b, l, d)
+
+
+@pytest.mark.parametrize("b,l,d,h", [(8, 197, 768, 12), (14, 77, 512, 8), (4, 32, 64, 4)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_mha_bld_matches_reference_fp32(b, l, d, h, causal):
+    """The production (B, L, D) lane-sliced kernel vs the reference formulation."""
+    from anomalyclip_tpu.ops.pallas.attention import fused_mha_bld, mha_eligible
+
+    assert mha_eligible(b, l, d, h, 4)
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    want = np.asarray(_reference_mha_bld(q, k, v, h, causal))
+    got = np.asarray(fused_mha_bld(q, k, v, h, causal, True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_mha_bld_grad_matches_xla():
+    """Custom-VJP backward (XLA recompute) vs autodiff through the reference."""
+    from anomalyclip_tpu.ops.pallas.attention import fused_mha_bld
+
+    rng = np.random.default_rng(3)
+    b, l, d, h = 2, 16, 32, 4
+    q = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_mha_bld(q, k, v, h, True, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_mha_bld(q, k, v, h, causal=True) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-4)

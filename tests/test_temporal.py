@@ -1,9 +1,11 @@
-"""Axial temporal model: shape, layout, and semantic invariants.
+"""Axial temporal model: numerical oracle parity + semantic invariants.
 
 The reference's attention core is the external ``axial_attention`` pip package
-(unavailable offline), so these tests pin the documented semantics — axial
-factorization, reversible coupling, test-mode grid folding — rather than compare
-against that package directly.
+(unavailable offline). tests/helpers/axial_torch.py re-implements it in torch,
+faithful to the published package (same math, same parameter paths); the parity
+tests below assert the JAX model matches that oracle through the weight converter
+at the reference's real shapes (emb 128/256, depth 1/2, 32x16 grid), including the
+reversible coupling and the conv-FF ChanLayerNorm eps placement.
 """
 
 import jax
@@ -101,6 +103,76 @@ def test_reversible_coupling_structure(params):
     # zero params make f(x)=g(x)=const bias terms; with zero biases output == input
     y = axial_transformer(x, zeroed, CFG)
     np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "emb,depth,heads,input_size",
+    [
+        (128, 1, 8, 512),   # XD-Violence config (configs/model/anomaly_clip_xdviolence.yaml)
+        (256, 2, 8, 529),   # ShanghaiTech config incl. concat_features input size
+    ],
+)
+def test_matches_torch_axial_oracle(emb, depth, heads, input_size):
+    """JAX temporal model == torch axial_attention oracle at reference shapes."""
+    import torch
+
+    from tests.helpers.axial_torch import TemporalModel as TorchTemporalModel
+
+    from anomalyclip_tpu.convert_ckpt import temporal_params_from_torch
+
+    n, l = 32, 16
+    torch.manual_seed(0)
+    oracle = TorchTemporalModel(
+        input_size=input_size, emb_size=emb, output_size=1, heads=heads,
+        dim_heads=None, depth=depth, num_segments=n, seg_length=l,
+    ).float().eval()
+
+    sd = {k: np.asarray(v.detach().numpy()) for k, v in oracle.state_dict().items()}
+    params = temporal_params_from_torch(sd, prefix="")
+
+    cfg = TemporalConfig(
+        input_size=input_size, emb_size=emb, depth=depth, heads=heads,
+        dim_heads=None, num_segments=n, seg_length=l,
+    )
+
+    rng = np.random.default_rng(0)
+    b = 2
+    feats = rng.standard_normal((b * n * l, input_size)).astype(np.float32)
+
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(feats), segment_size=1, test_mode=False).numpy()
+    got = np.asarray(temporal_scores(jnp.asarray(feats), params, cfg, test_mode=False))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_matches_torch_axial_oracle_test_mode():
+    """Test-mode segment folding matches the oracle ((b n s l) layout)."""
+    import torch
+
+    from tests.helpers.axial_torch import TemporalModel as TorchTemporalModel
+
+    from anomalyclip_tpu.convert_ckpt import temporal_params_from_torch
+
+    n, l, emb, input_size, s = 32, 16, 128, 512, 3
+    torch.manual_seed(1)
+    oracle = TorchTemporalModel(
+        input_size=input_size, emb_size=emb, output_size=1, heads=8,
+        dim_heads=None, depth=1, num_segments=n, seg_length=l,
+    ).float().eval()
+    sd = {k: np.asarray(v.detach().numpy()) for k, v in oracle.state_dict().items()}
+    params = temporal_params_from_torch(sd, prefix="")
+    cfg = TemporalConfig(
+        input_size=input_size, emb_size=emb, depth=1, heads=8, dim_heads=None,
+        num_segments=n, seg_length=l,
+    )
+    rng = np.random.default_rng(2)
+    feats = rng.standard_normal((1 * n * s * l, input_size)).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(feats), segment_size=s, test_mode=True).numpy()
+    got = np.asarray(
+        temporal_scores(jnp.asarray(feats), params, cfg, segment_size=s, test_mode=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
 def test_gradients_flow(params):
