@@ -24,10 +24,12 @@ import regex as re
 
 CONTEXT_LENGTH = 77
 
+# The merge table is vendored in-package (the public OpenAI asset, same file the
+# reference ships at src/models/components/clip/bpe_simple_vocab_16e6.txt.gz), so
+# the package is self-contained; the cache path remains as a fallback override.
 _VOCAB_CANDIDATES = (
     "bpe_simple_vocab_16e6.txt.gz",
     "~/.cache/clip/bpe_simple_vocab_16e6.txt.gz",
-    "/root/reference/src/models/components/clip/bpe_simple_vocab_16e6.txt.gz",
 )
 
 

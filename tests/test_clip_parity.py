@@ -92,6 +92,55 @@ def test_encode_text_parity(torch_and_jax):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_full_vit_b16_parity_with_fp16_checkpoint():
+    """Full ViT-B/16 shape (12 layers, width 768, 197 tokens) through the converter
+    and encoder pair, from an fp16-stored state dict — the released checkpoints'
+    format (reference: model.py:433-459 convert_weights). CPU, fp32 compute."""
+    import torch
+
+    ref = load_reference_clip_model()
+    torch.manual_seed(7)
+    model = ref.CLIP(
+        embed_dim=512,
+        image_resolution=224,
+        vision_layers=12,
+        vision_width=768,
+        vision_patch_size=16,
+        context_length=77,
+        vocab_size=VOCAB,  # full 49408 embedding table adds nothing numerically
+        transformer_width=512,
+        transformer_heads=8,
+        transformer_layers=12,
+    ).float().eval()
+
+    # fp16-store round trip (what the released .pt/.ckpt files contain)
+    sd_fp16 = {k: v.half() for k, v in model.state_dict().items()}
+    model.load_state_dict({k: v.float() for k, v in sd_fp16.items()})
+    sd = {k: np.asarray(v.float().numpy()) for k, v in sd_fp16.items()}
+    params, cfg = torch_state_dict_to_params(sd)
+    assert cfg.vision_layers == 12 and cfg.vision_width == 768
+    assert cfg.embed_dim == 512 and cfg.vision_patch_size == 16
+    assert params["visual"]["blocks"]["attn"]["qkv_w"].dtype == np.float32
+
+    rng = np.random.default_rng(4)
+    images = rng.standard_normal((2, 3, 224, 224), dtype=np.float32)
+    with torch.no_grad():
+        want = model.encode_image(torch.from_numpy(images)).numpy()
+    got = np.asarray(encode_image(params, cfg, images.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    tokens = np.zeros((2, 77), dtype=np.int64)
+    tokens[:, 0] = VOCAB - 2
+    tokens[0, 1:9] = rng.integers(1, VOCAB - 2, size=8)
+    tokens[0, 9] = VOCAB - 1
+    tokens[1, 1:40] = rng.integers(1, VOCAB - 2, size=39)
+    tokens[1, 40] = VOCAB - 1
+    with torch.no_grad():
+        want_t = model.encode_text(torch.from_numpy(tokens)).numpy()
+    got_t = np.asarray(encode_text(params, cfg, tokens.astype(np.int32)))
+    np.testing.assert_allclose(got_t, want_t, rtol=2e-4, atol=2e-4)
+
+
 def test_text_on_embeddings_matches_encode_text(torch_and_jax):
     """The CoOp path (embeddings in, EOT indices in) must equal encode_text when fed
     the embedding-table rows (reference: text_encoder.py:14-25 vs model.py:401-414)."""
