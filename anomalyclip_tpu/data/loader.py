@@ -57,6 +57,9 @@ class DualStreamTrainLoader:
         self.num_workers = max(num_workers, 1)
         self.prefetch = prefetch
         self.epoch = 0
+        # one persistent pool for the loader's lifetime: creating/tearing down a
+        # ThreadPoolExecutor per batch costs thread spawns on the hot input path
+        self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
     def __len__(self) -> int:
         return min(len(self.normal) // self.half, len(self.abnormal) // self.half)
@@ -78,23 +81,22 @@ class DualStreamTrainLoader:
     def _make_batch(self, a_ids, n_ids, batch_seed) -> TrainBatch:
         rng = np.random.default_rng(batch_seed)
         item_seeds = rng.integers(np.iinfo(np.int64).max, size=2 * self.half)
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            a_items = list(
-                pool.map(
-                    lambda args: self.abnormal.train_item(
-                        int(args[0]), np.random.default_rng(int(args[1]))
-                    ),
-                    zip(a_ids, item_seeds[: self.half]),
-                )
+        a_items = list(
+            self._pool.map(
+                lambda args: self.abnormal.train_item(
+                    int(args[0]), np.random.default_rng(int(args[1]))
+                ),
+                zip(a_ids, item_seeds[: self.half]),
             )
-            n_items = list(
-                pool.map(
-                    lambda args: self.normal.train_item(
-                        int(args[0]), np.random.default_rng(int(args[1]))
-                    ),
-                    zip(n_ids, item_seeds[self.half :]),
-                )
+        )
+        n_items = list(
+            self._pool.map(
+                lambda args: self.normal.train_item(
+                    int(args[0]), np.random.default_rng(int(args[1]))
+                ),
+                zip(n_ids, item_seeds[self.half :]),
             )
+        )
         a_feats = np.stack([f for f, _ in a_items])  # (b/2, ncrops, t, ...)
         n_feats = np.stack([f for f, _ in n_items])
         return TrainBatch(

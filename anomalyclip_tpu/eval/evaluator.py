@@ -49,44 +49,41 @@ DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 class GridScorer:
     """Jit-compiled scoring of a batch of (n, l, D) grids.
 
-    Text features depend only on the trainable params, so they are computed once
-    per evaluation epoch and closed over as a device constant.
+    Parameters (text features, temporal weights, BN stats, ncentroid) are jit
+    *arguments*, not closed-over constants: the compiled ``score`` executable — one
+    per bucket size — is reused across epochs. ``update()`` swaps in new params
+    (recomputing text features once) without triggering any recompilation; the
+    per-epoch validation loop of the reference (anomaly_clip_module.py:301-337)
+    therefore compiles only on the first epoch.
     """
 
     def __init__(
         self,
         model: AnomalyCLIP,
-        frozen,
-        trainable,
-        bn_state: BNState,
-        ncentroid,
+        frozen=None,
+        trainable=None,
+        bn_state: BNState = None,
+        ncentroid=None,
         buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
     ):
         self.model = model
         self.buckets = buckets
-        self.text_features = jax.jit(model.text_features)(frozen, trainable)
-        self._frozen = frozen
-        self._trainable = trainable
-        self._bn_state = bn_state
-        self._ncentroid = jnp.asarray(ncentroid)
+        self._text_fn = jax.jit(model.text_features)
 
-        def score(grids: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        def score(
+            text_features, temporal_params, bn_state, ncentroid, grids
+        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
             """grids: (G, n, l, D) -> (similarity (G*n*l, C-1), scores (G*n*l,))"""
             cfg = model.cfg
             with matmul_precision_for(cfg.dtype):
-                g = grids.shape[0]
                 flat = grids.reshape(-1, grids.shape[-1])
                 similarity = selector_test(
-                    flat,
-                    self.text_features,
-                    self._ncentroid,
-                    self._bn_state,
-                    model.selector_cfg,
+                    flat, text_features, ncentroid, bn_state, model.selector_cfg
                 )
-                features = model._temporal_input(flat, similarity, self._ncentroid)
+                features = model._temporal_input(flat, similarity, ncentroid)
                 scores = temporal_scores(
                     features,
-                    self._trainable["temporal"],
+                    temporal_params,
                     model.temporal_cfg,
                     segment_size=1,
                     test_mode=False,  # each grid is one (n, l) block: train layout
@@ -94,6 +91,16 @@ class GridScorer:
                 return similarity, scores
 
         self._score = jax.jit(score)
+        if trainable is not None:
+            self.update(frozen, trainable, bn_state, ncentroid)
+
+    def update(self, frozen, trainable, bn_state: BNState, ncentroid) -> "GridScorer":
+        """Swap in new parameters (no recompilation)."""
+        self.text_features = self._text_fn(frozen, trainable)
+        self._temporal = trainable["temporal"]
+        self._bn_state = bn_state
+        self._ncentroid = jnp.asarray(ncentroid)
+        return self
 
     def score_grids(self, grids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Pad the grid batch to a bucket, score, trim."""
@@ -102,7 +109,13 @@ class GridScorer:
         if gb != g:
             pad = np.zeros((gb - g,) + grids.shape[1:], dtype=grids.dtype)
             grids = np.concatenate([grids, pad], axis=0)
-        similarity, scores = self._score(jnp.asarray(grids))
+        similarity, scores = self._score(
+            self.text_features,
+            self._temporal,
+            self._bn_state,
+            self._ncentroid,
+            jnp.asarray(grids),
+        )
         n_l = grids.shape[1] * grids.shape[2]
         return (
             np.asarray(similarity)[: g * n_l],

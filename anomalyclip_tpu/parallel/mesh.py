@@ -24,6 +24,49 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 DATA_AXIS = "data"
 
+_DISTRIBUTED_INITIALIZED = False
+
+
+def maybe_initialize_distributed() -> bool:
+    """Multi-host bring-up: call ``jax.distributed.initialize`` when coordinator
+    env vars are present, so ``jax.devices()`` spans every process's chips and the
+    1-D data mesh (and its psum/BN collectives) rides the full slice.
+
+    Triggers on either the explicit JAX env contract
+    (``JAX_COORDINATOR_ADDRESS`` [+ ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``]) or a
+    TPU-pod environment where JAX auto-discovers its coordinates
+    (``MEGASCALE_COORDINATOR_ADDRESS``/``TPU_WORKER_HOSTNAMES`` with >1 worker).
+    Single-process runs (the common case, and every test) skip initialization
+    entirely. Idempotent. This is the comm-backend row of SURVEY.md §2.5 — the
+    reference's analogue is Lightning spawning one NCCL rank per GPU
+    (configs/trainer/ddp.yaml:3-8).
+    """
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return True
+    import os
+
+    coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    pod_workers = [
+        w for w in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if w
+    ]
+    if coordinator:
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            # multi-process CPU (the test/simulation path) needs gloo collectives
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        kwargs = {"coordinator_address": coordinator}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if os.environ.get("JAX_PROCESS_ID"):
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(**kwargs)
+    elif len(pod_workers) > 1:
+        jax.distributed.initialize()  # TPU pod: coordinates auto-discovered
+    else:
+        return False
+    _DISTRIBUTED_INITIALIZED = True
+    return True
+
 
 def usable_data_devices(half_batch: int, devices: Optional[Sequence] = None) -> list:
     """Largest prefix of devices that evenly divides the per-half batch size.

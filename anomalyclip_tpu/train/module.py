@@ -40,6 +40,7 @@ from anomalyclip_tpu.models.losses import LossConfig, compute_loss
 from anomalyclip_tpu.models.selector import BNState
 from anomalyclip_tpu.parallel.mesh import (
     data_mesh,
+    maybe_initialize_distributed,
     replicate,
     shard_train_batch,
     usable_data_devices,
@@ -81,6 +82,8 @@ class AnomalyCLIPTrainModule:
     """Owns model, data, optimizer, and the train/eval loops for one composed cfg."""
 
     def __init__(self, cfg: ConfigNode):
+        # multi-host bring-up must precede any device query (no-op single-process)
+        maybe_initialize_distributed()
         self.cfg = cfg
         self.seed = int(cfg.get("seed") or 0)
         self.save_dir = Path(cfg.model.get("save_dir") or cfg.paths.output_dir)
@@ -187,7 +190,9 @@ class AnomalyCLIPTrainModule:
     def _build_train_step(self, tx: optax.GradientTransformation):
         model, loss_cfg = self.model, self.loss_cfg
 
-        def train_step(frozen, state: TrainState, batch: TrainBatch, ncentroid, key):
+        def train_step(
+            frozen, state: TrainState, batch: TrainBatch, ncentroid, key, metric_sums
+        ):
             features = jnp.concatenate(
                 [batch.abnormal_features, batch.normal_features], axis=0
             )
@@ -230,9 +235,28 @@ class AnomalyCLIPTrainModule:
                 "train/smooth_loss": terms.lsmooth,
                 "train/sparse_loss": terms.lsparse,
             }
-            return new_state, metrics
+            # metrics accumulate on device: one host transfer per epoch, not per
+            # step — a per-step float() blocks async dispatch and stalls the pipe
+            new_sums = {k: metric_sums[k] + v for k, v in metrics.items()}
+            return new_state, new_sums
 
-        return jax.jit(train_step, donate_argnums=(1,))
+        return jax.jit(train_step, donate_argnums=(1, 5))
+
+    @staticmethod
+    def _zero_metric_sums() -> Dict[str, jnp.ndarray]:
+        return {
+            k: jnp.zeros((), jnp.float32)
+            for k in (
+                "train/loss",
+                "train/dir_abn_loss",
+                "train/dir_nor_loss",
+                "train/topk_abn_loss",
+                "train/bottomk_abn_loss",
+                "train/topk_nor_loss",
+                "train/smooth_loss",
+                "train/sparse_loss",
+            )
+        }
 
     def _prepare_batch(self, batch: TrainBatch) -> TrainBatch:
         """Squeeze the ncrops axis (anomaly_clip.py:178 squeeze) and shard halves
@@ -260,7 +284,28 @@ class AnomalyCLIPTrainModule:
             step=jnp.zeros((), jnp.int32),
         )
 
+    def _run_task(self, fn):
+        """task_wrapper analogue (reference: src/utils/utils.py:42-92): exceptions
+        are appended to <run_dir>/exception.log and re-raised; metric loggers are
+        always finalized so a crashed run keeps its buffered metrics."""
+        try:
+            return fn()
+        except Exception:
+            if is_host_zero():
+                import traceback
+
+                path = self.save_dir / "exception.log"
+                with open(path, "a") as f:
+                    f.write(traceback.format_exc() + "\n")
+                log.error(f"task failed; traceback saved to {path}")
+            raise
+        finally:
+            self.loggers.finalize()
+
     def fit(self) -> Dict[str, Any]:
+        return self._run_task(self._fit)
+
+    def _fit(self) -> Dict[str, Any]:
         cfg = self.cfg
         trainer_cfg = cfg.get("trainer", ConfigNode())
         fast_dev_run = bool(trainer_cfg.get("fast_dev_run"))
@@ -324,20 +369,22 @@ class AnomalyCLIPTrainModule:
 
         for epoch in range(start_epoch, max_epochs):
             train_loader.set_epoch(epoch)
-            epoch_metrics: Dict[str, float] = {}
+            metric_sums = replicate(self._zero_metric_sums(), self.mesh)
             count = 0
             t0 = time.time()
             for batch_idx, batch in enumerate(train_loader):
                 if batch_idx >= steps_per_epoch:
                     break
                 key, step_key = jax.random.split(key)
-                state, metrics = train_step(
-                    frozen, state, self._prepare_batch(batch), ncentroid, step_key
+                state, metric_sums = train_step(
+                    frozen, state, self._prepare_batch(batch), ncentroid, step_key,
+                    metric_sums,
                 )
-                for name, value in metrics.items():
-                    epoch_metrics[name] = epoch_metrics.get(name, 0.0) + float(value)
                 count += 1
-            epoch_metrics = {k: v / max(count, 1) for k, v in epoch_metrics.items()}
+            # single blocking device->host transfer per epoch
+            epoch_metrics = {
+                k: float(v) / max(count, 1) for k, v in metric_sums.items()
+            }
             epoch_metrics["train/epoch_time_s"] = time.time() - t0
             log.info(
                 f"epoch {epoch}: loss={epoch_metrics.get('train/loss', float('nan')):.4f} "
@@ -383,18 +430,17 @@ class AnomalyCLIPTrainModule:
             jax.profiler.stop_trace()
 
         self._final_state = state
-        self.loggers.finalize()
         return last_val
 
     # ------------------------------------------------------------------ eval
 
     def _scorer(self, state: TrainState) -> GridScorer:
-        return GridScorer(
-            self.model,
-            self.frozen,
-            state.trainable,
-            state.bn_state,
-            jnp.asarray(self.ncentroid),
+        """Cached scorer: the jitted executable persists across epochs; only the
+        parameters are swapped (kills the per-epoch revalidation recompiles)."""
+        if getattr(self, "_scorer_cache", None) is None or self._scorer_cache.model is not self.model:
+            self._scorer_cache = GridScorer(self.model)
+        return self._scorer_cache.update(
+            self.frozen, state.trainable, state.bn_state, jnp.asarray(self.ncentroid)
         )
 
     def validate(self, state: TrainState, epoch: int, limit: Optional[int] = None) -> Dict:

@@ -46,8 +46,10 @@ def main() -> None:
     # cast weights to bf16 once: MXU-native, halves HBM traffic
     params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
 
-    batch = 256
-    inner_iters = 8
+    # batch sweep on v5e (fused attention, bf16): 32->3093, 64->3484, 128->3624,
+    # 192->3495, 256->3478, 512->3343 fps; 128 balances VMEM pressure vs MXU fill
+    batch = 128
+    inner_iters = 16
 
     @jax.jit
     def encode_chain(p, frames):
