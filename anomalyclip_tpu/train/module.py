@@ -284,6 +284,30 @@ class AnomalyCLIPTrainModule:
             step=jnp.zeros((), jnp.int32),
         )
 
+    def _log_model_summary(self, state: TrainState) -> None:
+        """Parameter counts per optimizer group + frozen CLIP (the reference's
+        log_hyperparameters, src/utils/logging_utils.py:9-50)."""
+
+        def count(tree) -> int:
+            return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+        frozen_n = count(self.frozen)
+        groups = {k: count(v) for k, v in state.trainable.items()}
+        trainable_n = sum(groups.values())
+        per_group = ", ".join(f"{k}={v:,}" for k, v in groups.items())
+        log.info(
+            f"model summary: trainable={trainable_n:,} ({per_group}); "
+            f"frozen CLIP={frozen_n:,}; total={trainable_n + frozen_n:,}"
+        )
+        self.loggers.log_metrics(
+            {
+                "model/params_trainable": float(trainable_n),
+                "model/params_frozen": float(frozen_n),
+                "model/params_total": float(trainable_n + frozen_n),
+            },
+            step=0,
+        )
+
     def _run_task(self, fn):
         """task_wrapper analogue (reference: src/utils/utils.py:42-92): exceptions
         are appended to <run_dir>/exception.log and re-raised; metric loggers are
@@ -320,9 +344,14 @@ class AnomalyCLIPTrainModule:
         )
 
         train_loader = self.datamodule.train_dataloader()
+        overfit_batches = int(trainer_cfg.get("overfit_batches") or 0)
         steps_per_epoch = _limit_count(
             len(train_loader), trainer_cfg.get("limit_train_batches")
         )
+        if overfit_batches:
+            # train on the same few batches every epoch (Lightning overfit_batches;
+            # reference: configs/debug/overfit.yaml) — epoch shuffling is pinned
+            steps_per_epoch = min(steps_per_epoch, overfit_batches)
         if fast_dev_run:
             steps_per_epoch = 1
         if steps_per_epoch == 0:
@@ -364,11 +393,24 @@ class AnomalyCLIPTrainModule:
         frozen = replicate(self.frozen, self.mesh)
         ncentroid = replicate(jnp.asarray(self.ncentroid), self.mesh)
 
+        callbacks_cfg = cfg.get("callbacks") or ConfigNode()  # callbacks: null ok
+        if callbacks_cfg.get("model_summary", True):
+            self._log_model_summary(state)
+
+        # early stopping (reference: configs/callbacks/early_stopping.yaml)
+        es_cfg = callbacks_cfg.get("early_stopping") or None
+        es_monitor = es_cfg.get("monitor", "auc_roc") if es_cfg else None
+        es_patience = int(es_cfg.get("patience", 3)) if es_cfg else 0
+        es_mode = str(es_cfg.get("mode", "max")) if es_cfg else "max"
+        es_min_delta = float(es_cfg.get("min_delta", 0.0)) if es_cfg else 0.0
+        es_best: Optional[float] = None
+        es_bad_epochs = 0
+
         key = jax.random.PRNGKey(self.seed + 17)
         last_val: Dict[str, Any] = {}
 
         for epoch in range(start_epoch, max_epochs):
-            train_loader.set_epoch(epoch)
+            train_loader.set_epoch(0 if overfit_batches else epoch)
             metric_sums = replicate(self._zero_metric_sums(), self.mesh)
             count = 0
             t0 = time.time()
@@ -414,6 +456,19 @@ class AnomalyCLIPTrainModule:
                     step=epoch,
                 )
 
+            if es_monitor and last_val:
+                value = last_val.get(es_monitor)
+                if value is not None and np.isfinite(value):
+                    improved = es_best is None or (
+                        value > es_best + es_min_delta
+                        if es_mode == "max"
+                        else value < es_best - es_min_delta
+                    )
+                    if improved:
+                        es_best, es_bad_epochs = float(value), 0
+                    else:
+                        es_bad_epochs += 1
+
             if not fast_dev_run and is_host_zero():
                 self.ckpt.save_epoch(
                     epoch,
@@ -425,6 +480,13 @@ class AnomalyCLIPTrainModule:
                         "epoch": np.asarray(epoch),
                     },
                 )
+
+            if es_monitor and es_bad_epochs >= es_patience > 0:
+                log.info(
+                    f"early stopping at epoch {epoch}: {es_monitor} did not improve "
+                    f"for {es_bad_epochs} epochs (best {es_best:.4f})"
+                )
+                break
 
         if profiler == "jax" and is_host_zero():
             jax.profiler.stop_trace()

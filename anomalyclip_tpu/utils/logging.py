@@ -101,6 +101,30 @@ class WandbMetricLogger:
         self._run.finish()
 
 
+class MLflowMetricLogger:
+    """configs/logger/mlflow.yaml analogue (reference configs/logger/mlflow.yaml);
+    file-store tracking URI by default so it works without a server."""
+
+    def __init__(self, save_dir, experiment_name: str, tracking_uri: Optional[str]):
+        import mlflow
+
+        self._mlflow = mlflow
+        mlflow.set_tracking_uri(tracking_uri or f"file:{Path(save_dir) / 'mlruns'}")
+        mlflow.set_experiment(experiment_name)
+        self._run = mlflow.start_run()
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        clean = {
+            k.replace("/", "_"): float(v)
+            for k, v in metrics.items()
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+        }
+        self._mlflow.log_metrics(clean, step=step)
+
+    def finalize(self) -> None:
+        self._mlflow.end_run()
+
+
 class MetricLoggerSet:
     """Fan-out to every configured backend; host 0 only."""
 
@@ -124,6 +148,14 @@ class MetricLoggerSet:
                             kwargs.get("project", "AnomalyCLIP-TPU"),
                             kwargs.get("name"),
                             kwargs.get("offline", False),
+                        )
+                    )
+                elif kind == "mlflow":
+                    self.backends.append(
+                        MLflowMetricLogger(
+                            kwargs.get("save_dir", save_dir),
+                            kwargs.get("experiment_name", "anomalyclip_tpu"),
+                            kwargs.get("tracking_uri"),
                         )
                     )
             except Exception as exc:  # degrade, never kill training over logging

@@ -1,0 +1,60 @@
+"""Visualizer: render a synthetic video's scores to an mp4 (reference:
+src/utils/visualizer.py:12-256, hooked at anomaly_clip_module.py:447-456)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from anomalyclip_tpu.eval.evaluator import VideoScores
+from anomalyclip_tpu.eval.visualizer import Visualizer
+
+LABELS = Path(__file__).resolve().parents[1] / "anomalyclip_tpu/labels/synthetic_labels.csv"
+
+
+def _fake_scores(t: int, n_abn: int, path: str) -> VideoScores:
+    rng = np.random.default_rng(0)
+    sim = rng.standard_normal((t, n_abn)).astype(np.float32)
+    sc = rng.uniform(size=t).astype(np.float32)
+    e = np.exp(sim - sim.max(axis=1, keepdims=True))
+    probs = e / e.sum(axis=1, keepdims=True) * sc[:, None]
+    labels = np.zeros(t, dtype=np.int64)
+    labels[t // 2 :] = 1  # anomalous second half -> exercises the GT shading
+    return VideoScores(
+        similarity=sim, scores=sc, class_probs=probs,
+        frame_labels=labels, video_label=1, path=path,
+    )
+
+
+def test_process_video_without_frames(tmp_path):
+    """Features-only run: no JPEG dir -> placeholder frame panel, mp4 written."""
+    viz = Visualizer(
+        normal_id=3, labels_file=str(LABELS), save_dir=tmp_path, frame_step=16
+    )
+    vs = _fake_scores(t=48, n_abn=5, path=str(tmp_path / "video01.npy"))
+    viz.process_video(vs)
+    out = tmp_path / "visualizations" / "video01.mp4"
+    assert out.is_file() and out.stat().st_size > 0
+    cap = cv2.VideoCapture(str(out))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 3  # ceil(48/16)
+    cap.release()
+
+
+def test_process_video_with_frames(tmp_path):
+    """Frames present: the real JPEGs are loaded into the frame panel."""
+    frames_dir = tmp_path / "video02"
+    frames_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(1, 33):
+        img = rng.integers(0, 255, size=(32, 48, 3), dtype=np.uint8)
+        cv2.imwrite(str(frames_dir / f"{i:06d}.jpg"), img)
+
+    viz = Visualizer(
+        normal_id=3, labels_file=str(LABELS), save_dir=tmp_path, frame_step=8
+    )
+    vs = _fake_scores(t=32, n_abn=5, path=str(frames_dir))
+    viz.process_video(vs)
+    out = tmp_path / "visualizations" / "video02.mp4"
+    assert out.is_file() and out.stat().st_size > 0
