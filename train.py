@@ -61,6 +61,9 @@ def main(argv=None) -> dict:
 
     os.environ.setdefault("PROJECT_ROOT", str(Path(__file__).resolve().parent))
 
+    if any(a.startswith("hparams_search=") and a != "hparams_search=null" for a in argv):
+        return _hparams_search(argv)
+
     if "-m" in argv or "--multirun" in argv:
         overrides = [a for a in argv if a not in ("-m", "--multirun")]
         jobs = _expand_multirun(overrides)
@@ -80,6 +83,91 @@ def main(argv=None) -> dict:
         return results
 
     return _single_run(argv)
+
+
+def _hparams_search(argv) -> dict:
+    """Sequential hyperparameter search driven by a hparams_search config group
+    (reference contract: configs/hparams_search/mnist_optuna.yaml + the
+    optimized_metric return, src/train.py:125-129 — the reference's own sweep
+    config is a rotted template; this one actually optimizes a logged metric).
+
+    Samples trial overrides from `hparams_search.space` (random or full grid),
+    runs each as a normal single run in its own run dir, and reports the best.
+    """
+    import itertools
+    import math
+
+    import numpy as np
+
+    from anomalyclip_tpu.config import compose
+    from anomalyclip_tpu.utils.logging import get_logger
+
+    log = get_logger("train")
+    cfg = compose(Path(__file__).parent / "configs", "train", argv)
+    hs = cfg.get("hparams_search")
+    if not hs:
+        raise SystemExit("hparams_search=<name> selected but group composed empty")
+    optimized = cfg.get("optimized_metric")
+    if not optimized:
+        raise SystemExit("hparams_search requires optimized_metric in the config")
+    space = dict(hs.get("space") or {})
+    if not space:
+        raise SystemExit("hparams_search.space is empty")
+    direction = str(hs.get("direction", "max"))
+    sampler = str(hs.get("sampler", "random"))
+    rng = np.random.default_rng(int(hs.get("seed") or 0))
+
+    def sample_random(spec):
+        kind = spec.get("type", "choice")
+        if kind == "choice":
+            return spec["values"][int(rng.integers(len(spec["values"])))]
+        if kind == "uniform":
+            return float(rng.uniform(float(spec["low"]), float(spec["high"])))
+        if kind == "loguniform":
+            lo, hi = math.log(float(spec["low"])), math.log(float(spec["high"]))
+            return float(math.exp(rng.uniform(lo, hi)))
+        if kind == "int":
+            return int(rng.integers(int(spec["low"]), int(spec["high"]) + 1))
+        raise ValueError(f"unknown space type {kind!r} for hparams_search")
+
+    if sampler == "grid":
+        axes = []
+        for key, spec in space.items():
+            values = spec.get("values")
+            if values is None:
+                raise ValueError(f"grid sampler needs explicit values for {key}")
+            axes.append([(key, v) for v in values])
+        trials = [dict(combo) for combo in itertools.product(*axes)]
+    else:
+        trials = [
+            {key: sample_random(spec) for key, spec in space.items()}
+            for _ in range(int(hs.get("n_trials", 8)))
+        ]
+
+    log.info(f"hparams_search: {len(trials)} trials optimizing {optimized} ({direction})")
+    results = []
+    for i, trial in enumerate(trials):
+        overrides = [f"{k}={v}" for k, v in trial.items()]
+        job = argv + overrides + [f"exp_name_suffix=/trial_{i}"]
+        log.info(f"trial {i}: {trial}")
+        try:
+            metrics = _single_run(job)
+            value = metrics.get("optimized_metric_value")
+        except Exception as exc:  # a failed trial must not kill the search
+            log.error(f"trial {i} failed: {exc!r}")
+            metrics, value = {"error": repr(exc)}, None
+        results.append({"trial": i, "params": trial, "value": value})
+    valid = [r for r in results if r["value"] is not None]
+    if valid:
+        best = (max if direction == "max" else min)(valid, key=lambda r: r["value"])
+        log.info(
+            f"hparams_search best: trial {best['trial']} {optimized}={best['value']:.4f} "
+            f"params={best['params']}"
+        )
+    else:
+        best = None
+        log.warning("hparams_search: no trial produced the optimized metric")
+    return {"trials": results, "best": best}
 
 
 def _single_run(argv) -> dict:
