@@ -50,7 +50,7 @@ from anomalyclip_tpu.train.checkpoint import (
     load_ncentroid,
     save_ncentroid,
 )
-from anomalyclip_tpu.train.optim import build_optimizer
+from anomalyclip_tpu.train.optim import build_optimizer, warmup_cosine_schedule
 from anomalyclip_tpu.utils.logging import MetricLoggerSet, get_logger, is_host_zero
 
 log = get_logger(__name__)
@@ -363,6 +363,13 @@ class AnomalyCLIPTrainModule:
             dict(cfg.model.get("scheduler", {})),
             steps_per_epoch,
         )
+        scheduler_cfg = dict(cfg.model.get("scheduler", {}))
+        lr_schedule = warmup_cosine_schedule(
+            float(cfg.model.solver["lr"]),
+            int(scheduler_cfg.get("warmup_epochs", 0)),
+            int(scheduler_cfg.get("total_epoch", 50)),
+            steps_per_epoch,
+        )
         train_step = self._build_train_step(tx)
 
         state = self.init_state(tx)
@@ -427,6 +434,12 @@ class AnomalyCLIPTrainModule:
             epoch_metrics = {
                 k: float(v) / max(count, 1) for k, v in metric_sums.items()
             }
+            if callbacks_cfg.get("lr_logger", True):
+                # reference: LearningRateMonitor (configs/callbacks/default.yaml);
+                # the LR in effect during THIS epoch (per-epoch schedule)
+                epoch_metrics["train/lr"] = float(
+                    lr_schedule(epoch * steps_per_epoch)
+                )
             epoch_metrics["train/epoch_time_s"] = time.time() - t0
             log.info(
                 f"epoch {epoch}: loss={epoch_metrics.get('train/loss', float('nan')):.4f} "

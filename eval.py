@@ -28,6 +28,11 @@ def main(argv=None) -> dict:
     from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
 
     cfg = compose(Path(__file__).parent / "configs", "eval", argv)
+
+    from anomalyclip_tpu.utils.extras import apply_extras
+
+    apply_extras(cfg)
+
     ckpt_path = cfg.get("ckpt_path")
     if not ckpt_path or ckpt_path == "???":
         raise SystemExit("eval.py requires ckpt_path=...")

@@ -200,6 +200,10 @@ def _single_run(argv) -> dict:
             "or pass data=<name> model=<name> explicitly."
         )
 
+    from anomalyclip_tpu.utils.extras import apply_extras
+
+    apply_extras(cfg)
+
     if cfg.get("seed") is not None:
         import random
 
