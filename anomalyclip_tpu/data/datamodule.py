@@ -40,6 +40,7 @@ class DataConfig:
     ncrops: int = 1
     spatialannotationdir_path: Optional[str] = None
     visualize: bool = False
+    fast_decode: bool = False  # cv2 JPEG decode (faster, near-parity preprocessing)
 
     @staticmethod
     def from_dict(cfg: Dict[str, Any]) -> "DataConfig":
@@ -60,6 +61,7 @@ class AnomalyCLIPDataModule:
             input_size=self.cfg.input_size,
             image_tmpl=self.cfg.image_tmpl,
             ncrops=self.cfg.ncrops,
+            fast_decode=self.cfg.fast_decode,
         )
 
     def setup(self) -> None:

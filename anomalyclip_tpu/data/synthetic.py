@@ -26,10 +26,15 @@ def generate_synthetic_dataset(
     max_frames: int = 1400,
     seed: int = 0,
     force: bool = False,
+    make_frames: bool = False,
+    frame_size: int = 32,
 ) -> None:
+    """With ``make_frames=True``, each video also gets a ``<name>/{:06d}.jpg``
+    directory of class-tinted frames so the from-frames path
+    (``data.load_from_features=False``) runs end-to-end too."""
     frames_root = Path(frames_root)
     annotations_root = Path(annotations_root)
-    stamp = annotations_root / ".synthetic_ok"
+    stamp = annotations_root / (".synthetic_ok_frames" if make_frames else ".synthetic_ok")
     if stamp.is_file() and not force:
         return
     frames_root.mkdir(parents=True, exist_ok=True)
@@ -39,6 +44,23 @@ def generate_synthetic_dataset(
     abnormal_classes = [c for c in range(num_classes) if c != normal_id]
     # class-conditioned feature means make the task learnable end-to-end
     class_means = rng.standard_normal((num_classes, feature_dim)).astype(np.float32)
+    class_tints = rng.uniform(0.2, 0.8, size=(num_classes, 3)).astype(np.float32)
+
+    def write_frames(name: str, label: int, t: int, anomalous_span) -> None:
+        from PIL import Image
+
+        vdir = frames_root / name
+        vdir.mkdir(parents=True, exist_ok=True)
+        base = class_tints[normal_id]
+        for i in range(t):
+            tint = base
+            if anomalous_span is not None and anomalous_span[0] <= i <= anomalous_span[1]:
+                tint = class_tints[label]
+            img = rng.uniform(0, 0.3, size=(frame_size, frame_size, 3)) + tint
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            # file id = start_frame + index (reference video_dataset.py:338); the
+            # synthetic annotations use start_frame=0, so files are 0-based
+            Image.fromarray(img).save(vdir / f"{i:06d}.jpg", quality=80)
 
     def write_video(name: str, label: int, anomalous_span=None) -> int:
         t = int(rng.integers(min_frames, max_frames + 1))
@@ -48,6 +70,8 @@ def generate_synthetic_dataset(
             s, e = anomalous_span
             feats[s : e + 1] += class_means[label] - class_means[normal_id]
         np.save(frames_root / f"{name}.npy", feats)
+        if make_frames:
+            write_frames(name, label, t, anomalous_span)
         return t
 
     normal_lines, abnormal_lines, test_lines, temporal_lines = [], [], [], []

@@ -91,16 +91,33 @@ class GridScorer:
                 return similarity, scores
 
         self._score = jax.jit(score)
+        self._encode_jit = None
         if trainable is not None:
             self.update(frozen, trainable, bn_state, ncentroid)
 
     def update(self, frozen, trainable, bn_state: BNState, ncentroid) -> "GridScorer":
         """Swap in new parameters (no recompilation)."""
         self.text_features = self._text_fn(frozen, trainable)
+        self._frozen = frozen
         self._temporal = trainable["temporal"]
         self._bn_state = bn_state
         self._ncentroid = jnp.asarray(ncentroid)
         return self
+
+    def encode_frames_np(self, frames: np.ndarray, chunk: int = 512) -> np.ndarray:
+        """CLIP-encode raw frames (N, H, W, 3) -> (N, D) in static-shape chunks
+        (the from-frames test path, reference anomaly_clip.py:118-131)."""
+        if self._encode_jit is None:
+            self._encode_jit = jax.jit(self.model.encode_frames)
+        outs = []
+        for i in range(0, len(frames), chunk):
+            part = frames[i : i + chunk]
+            pad = chunk - len(part) if len(frames) > chunk else 0
+            if pad:
+                part = np.concatenate([part, np.repeat(part[:1], pad, axis=0)])
+            out = np.asarray(self._encode_jit(self._frozen, jnp.asarray(part)))
+            outs.append(out[: len(out) - pad] if pad else out)
+        return np.concatenate(outs)
 
     def score_grids(self, grids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Pad the grid batch to a bucket, score, trim."""
@@ -138,7 +155,11 @@ def score_video(item: TestItem, scorer: GridScorer, model: AnomalyCLIP) -> Video
     (anomaly_clip.py:117-154 + the trim in anomaly_clip_module.py:479-483)."""
     cfg = model.cfg
     n, l, s = cfg.num_segments, cfg.seg_length, item.segment_size
-    feats = item.features  # (ncrops, n*s*l, D)
+    feats = item.features  # (ncrops, n*s*l, D) or frames (ncrops, n*s*l, H, W, 3)
+    if feats.ndim == 5:
+        ncrops, t = feats.shape[:2]
+        flat = feats.reshape((-1,) + feats.shape[2:])
+        feats = scorer.encode_frames_np(flat).reshape(ncrops, t, -1)
     ncrops, t, d = feats.shape
     assert t == n * s * l, (t, n, s, l)
 

@@ -2,12 +2,17 @@
 
 Functionally equivalent to the reference's vendored tokenizer
 (reference: src/models/components/clip/simple_tokenizer.py:66-146 and
-clip.py:225-268) using the standard OpenAI CLIP BPE algorithm over the public
-``bpe_simple_vocab_16e6.txt.gz`` merge table. The vocab file is NOT vendored; it is
-located at runtime via :func:`find_bpe_vocab` (env var ``CLIP_BPE_PATH``, the package
-directory, common cache locations). ftfy unicode fixing is applied when the package
-is available; for the ASCII class names used by all three benchmarks the output is
-identical without it.
+clip.py:225-268). Provenance note: the ``bytes_to_unicode`` table, the BPE merge
+loop, and the tokenization regex are the canonical public OpenAI CLIP/GPT-2
+algorithm (github.com/openai/CLIP, MIT license) — they must be bit-exact or token
+ids diverge from every published CLIP checkpoint, so they intentionally match the
+upstream algorithm that the reference also vendors verbatim. The surrounding API
+(vocab resolution, numpy batch tokenize) is this package's own.
+
+The public ``bpe_simple_vocab_16e6.txt.gz`` merge table is vendored in-package and
+located via :func:`find_bpe_vocab` (env var ``CLIP_BPE_PATH`` overrides). ftfy
+unicode fixing is applied when the package is available; for the ASCII class names
+used by all three benchmarks the output is identical without it.
 """
 
 from __future__ import annotations

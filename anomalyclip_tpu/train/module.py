@@ -110,6 +110,9 @@ class AnomalyCLIPTrainModule:
                 min_frames=data_cfg_dict.get("synthetic_min_frames", 600),
                 max_frames=data_cfg_dict.get("synthetic_max_frames", 1400),
                 seed=self.seed,
+                # from-frames runs need JPEG dirs; frame size = CLIP input size
+                make_frames=not data_cfg_dict.get("load_from_features", True),
+                frame_size=int(data_cfg_dict.get("input_size", 224)),
             )
         self.datamodule = AnomalyCLIPDataModule(
             DataConfig.from_dict(data_cfg_dict), seed=self.seed

@@ -204,3 +204,23 @@ def test_dual_stream_loader_shapes_and_halving(synthetic_dirs):
     loader.set_epoch(1)
     b1_again = list(loader)[0]
     np.testing.assert_array_equal(b1.abnormal_features, b1_again.abnormal_features)
+
+
+def test_fast_decode_matches_pil_preprocessing(tmp_path):
+    """cv2 fast-decode path vs the parity (PIL/torchvision-bicubic) path: same
+    shape/normalization, near-identical values on natural-image content."""
+    cv2 = pytest.importorskip("cv2")
+    from PIL import Image
+
+    from anomalyclip_tpu.data.sources import preprocess_frame, preprocess_frame_cv2
+
+    x, y = np.meshgrid(np.linspace(0, 1, 640), np.linspace(0, 1, 360))
+    img = np.stack([np.sin(6 * x) * 0.5 + 0.5, y, x * y], -1)
+    path = tmp_path / "f.jpg"
+    cv2.imwrite(str(path), cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
+
+    with Image.open(path) as im:
+        want = preprocess_frame(im)
+    got = preprocess_frame_cv2(str(path))
+    assert got.shape == want.shape == (224, 224, 3)
+    assert np.abs(got - want).mean() < 0.01  # normalized units

@@ -77,3 +77,26 @@ def test_train_then_eval_parity(tmp_path):
 
     assert eval_metrics["auc_roc"] == pytest.approx(train_test_metrics["auc_roc"], abs=1e-3)
     assert eval_metrics["auc_pr"] == pytest.approx(train_test_metrics["auc_pr"], abs=1e-3)
+
+
+@pytest.mark.slow
+def test_from_frames_path(tmp_path):
+    """The from-frames slice (data.load_from_features=False): synthetic JPEG dirs
+    are generated, CLIP encodes frames inside both the train step and the
+    evaluator (reference: anomaly_clip.py:118-131, 157-169)."""
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    cfg = synthetic_cfg(
+        tmp_path,
+        "data.load_from_features=False",
+        "data.input_size=32",           # CLIPConfig.tiny image resolution
+        "data.fast_decode=True",
+        "data.synthetic_min_frames=520",
+        "data.synthetic_max_frames=560",
+        "trainer.max_epochs=1",
+        "trainer.limit_train_batches=1",
+        "trainer.limit_val_batches=2",
+    )
+    module = AnomalyCLIPTrainModule(cfg)
+    metrics = module.fit()
+    assert np.isfinite(metrics["auc_roc"])
