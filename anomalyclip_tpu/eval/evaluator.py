@@ -62,7 +62,7 @@ class GridScorer:
         model: AnomalyCLIP,
         frozen=None,
         trainable=None,
-        bn_state: BNState = None,
+        bn_state: Optional[BNState] = None,
         ncentroid=None,
         buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
     ):
