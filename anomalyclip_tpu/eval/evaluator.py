@@ -45,6 +45,24 @@ def bucket_size(g: int, buckets: Tuple[int, ...]) -> int:
 
 DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
+ENCODE_CHUNK = 256  # one static shape for every chunked frame-encoding pass
+
+
+def encode_frames_chunked(
+    encode_jit, frozen, frames: np.ndarray, chunk: int = ENCODE_CHUNK
+) -> np.ndarray:
+    """Shared chunked CLIP frame encoding with one static chunk shape (one TPU
+    compile serves the ncentroid pass and the test path alike)."""
+    outs = []
+    for i in range(0, len(frames), chunk):
+        part = frames[i : i + chunk]
+        pad = chunk - len(part) if len(frames) > chunk else 0
+        if pad:
+            part = np.concatenate([part, np.repeat(part[:1], pad, axis=0)])
+        out = np.asarray(encode_jit(frozen, jnp.asarray(part)))
+        outs.append(out[: len(out) - pad] if pad else out)
+    return np.concatenate(outs)
+
 
 class GridScorer:
     """Jit-compiled scoring of a batch of (n, l, D) grids.
@@ -104,20 +122,12 @@ class GridScorer:
         self._ncentroid = jnp.asarray(ncentroid)
         return self
 
-    def encode_frames_np(self, frames: np.ndarray, chunk: int = 512) -> np.ndarray:
+    def encode_frames_np(self, frames: np.ndarray) -> np.ndarray:
         """CLIP-encode raw frames (N, H, W, 3) -> (N, D) in static-shape chunks
         (the from-frames test path, reference anomaly_clip.py:118-131)."""
         if self._encode_jit is None:
             self._encode_jit = jax.jit(self.model.encode_frames)
-        outs = []
-        for i in range(0, len(frames), chunk):
-            part = frames[i : i + chunk]
-            pad = chunk - len(part) if len(frames) > chunk else 0
-            if pad:
-                part = np.concatenate([part, np.repeat(part[:1], pad, axis=0)])
-            out = np.asarray(self._encode_jit(self._frozen, jnp.asarray(part)))
-            outs.append(out[: len(out) - pad] if pad else out)
-        return np.concatenate(outs)
+        return encode_frames_chunked(self._encode_jit, self._frozen, frames)
 
     def score_grids(self, grids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Pad the grid batch to a bucket, score, trim."""

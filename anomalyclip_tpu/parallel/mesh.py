@@ -50,6 +50,13 @@ def maybe_initialize_distributed() -> bool:
     pod_workers = [
         w for w in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if w
     ]
+    megascale = os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    if megascale and len(pod_workers) <= 1:
+        # multi-slice runtime without the per-slice worker list: let JAX
+        # auto-discover its coordinates
+        jax.distributed.initialize()
+        _DISTRIBUTED_INITIALIZED = True
+        return True
     if coordinator:
         if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
             # multi-process CPU (the test/simulation path) needs gloo collectives

@@ -50,7 +50,7 @@ from anomalyclip_tpu.train.checkpoint import (
     load_ncentroid,
     save_ncentroid,
 )
-from anomalyclip_tpu.train.optim import build_optimizer, warmup_cosine_schedule
+from anomalyclip_tpu.train.optim import base_lr_schedule, build_optimizer
 from anomalyclip_tpu.utils.logging import MetricLoggerSet, get_logger, is_host_zero
 
 log = get_logger(__name__)
@@ -150,20 +150,13 @@ class AnomalyCLIPTrainModule:
     # ------------------------------------------------------------------ data
 
     def _frame_features(self, features: np.ndarray) -> np.ndarray:
-        """Encode raw frames to CLIP features for the ncentroid pass (frames path)."""
+        """Encode raw frames to CLIP features for the ncentroid pass (frames path);
+        shares the evaluator's chunked encoder (one compile for both passes)."""
+        from anomalyclip_tpu.eval.evaluator import encode_frames_chunked
+
         if self._encode_frames_jit is None:
             self._encode_frames_jit = jax.jit(self.model.encode_frames)
-        chunks = []
-        chunk_size = 256
-        for i in range(0, len(features), chunk_size):
-            chunk = features[i : i + chunk_size]
-            pad = 0
-            if len(chunk) < chunk_size and len(features) > chunk_size:
-                pad = chunk_size - len(chunk)
-                chunk = np.concatenate([chunk, np.zeros_like(chunk[:1]).repeat(pad, 0)])
-            out = np.asarray(self._encode_frames_jit(self.frozen, jnp.asarray(chunk)))
-            chunks.append(out[: len(out) - pad if pad else len(out)])
-        return np.concatenate(chunks)
+        return encode_frames_chunked(self._encode_frames_jit, self.frozen, features)
 
     def compute_ncentroid(self, limit: Optional[int] = None) -> np.ndarray:
         """Mean CLIP feature over every frame of the normal training videos
@@ -366,12 +359,8 @@ class AnomalyCLIPTrainModule:
             dict(cfg.model.get("scheduler", {})),
             steps_per_epoch,
         )
-        scheduler_cfg = dict(cfg.model.get("scheduler", {}))
-        lr_schedule = warmup_cosine_schedule(
-            float(cfg.model.solver["lr"]),
-            int(scheduler_cfg.get("warmup_epochs", 0)),
-            int(scheduler_cfg.get("total_epoch", 50)),
-            steps_per_epoch,
+        lr_schedule = base_lr_schedule(
+            dict(cfg.model.solver), dict(cfg.model.get("scheduler", {})), steps_per_epoch
         )
         train_step = self._build_train_step(tx)
 
@@ -452,7 +441,8 @@ class AnomalyCLIPTrainModule:
 
             # ---- validation (every epoch, like the reference) ----
             check_every = int(trainer_cfg.get("check_val_every_n_epoch", 1) or 1)
-            if (epoch + 1) % check_every == 0:
+            validated_this_epoch = (epoch + 1) % check_every == 0
+            if validated_this_epoch:
                 val_limit = _limit_count(
                     len(self.datamodule.val_dataloader()),
                     1 if fast_dev_run else trainer_cfg.get("limit_val_batches"),
@@ -472,7 +462,9 @@ class AnomalyCLIPTrainModule:
                     step=epoch,
                 )
 
-            if es_monitor and last_val:
+            # early stopping counts only epochs with a FRESH validation — with
+            # check_val_every_n_epoch > 1, stale metrics must not burn patience
+            if es_monitor and last_val and validated_this_epoch:
                 value = last_val.get(es_monitor)
                 if value is not None and np.isfinite(value):
                     improved = es_best is None or (
@@ -517,6 +509,9 @@ class AnomalyCLIPTrainModule:
         parameters are swapped (kills the per-epoch revalidation recompiles)."""
         if getattr(self, "_scorer_cache", None) is None or self._scorer_cache.model is not self.model:
             self._scorer_cache = GridScorer(self.model)
+        if self._encode_frames_jit is not None:
+            # share the ncentroid pass's compiled frame encoder with the evaluator
+            self._scorer_cache._encode_jit = self._encode_frames_jit
         return self._scorer_cache.update(
             self.frozen, state.trainable, state.bn_state, jnp.asarray(self.ncentroid)
         )
@@ -570,18 +565,15 @@ class AnomalyCLIPTrainModule:
                 # eval is self-contained regardless of the session's clip_init.
                 import dataclasses
 
-                from anomalyclip_tpu.convert_ckpt import convert_lightning_checkpoint
-
-                frozen, trainable, bn_state = convert_lightning_checkpoint(ckpt_path)
-                from anomalyclip_tpu.models.clip.convert import config_from_state_dict
                 from anomalyclip_tpu.convert_ckpt import (
-                    clip_state_dict_from_lightning,
+                    convert_lightning_checkpoint,
+                    converted_clip_config,
                     load_lightning_state_dict,
                 )
 
-                ckpt_clip_cfg = config_from_state_dict(
-                    clip_state_dict_from_lightning(load_lightning_state_dict(ckpt_path))
-                )
+                sd = load_lightning_state_dict(ckpt_path)  # one disk load, shared
+                frozen, trainable, bn_state = convert_lightning_checkpoint(sd)
+                ckpt_clip_cfg = converted_clip_config(sd)
                 n_ctx = int(np.asarray(trainable["prompt_ctx"]).shape[-2])
                 if ckpt_clip_cfg != self.model.clip_cfg or n_ctx != self.net_cfg.n_ctx:
                     self.net_cfg = dataclasses.replace(self.net_cfg, n_ctx=n_ctx)

@@ -55,6 +55,21 @@ GROUP_OF_KEY = {
 }
 
 
+def base_lr_schedule(
+    solver_cfg: Dict[str, Any],
+    scheduler_cfg: Dict[str, Any],
+    steps_per_epoch: int,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """The base-LR schedule (group ratios excluded) — the single source for both
+    the optimizer below and the lr_logger callback's train/lr metric."""
+    return warmup_cosine_schedule(
+        float(solver_cfg["lr"]),
+        int(scheduler_cfg.get("warmup_epochs", 0)),
+        int(scheduler_cfg.get("total_epoch", 50)),
+        steps_per_epoch,
+    )
+
+
 def build_optimizer(
     solver_cfg: Dict[str, Any],
     optimizer_cfg: Dict[str, Any],
