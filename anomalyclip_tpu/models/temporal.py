@@ -151,12 +151,30 @@ def _chan_layer_norm(x, g, b, eps=1e-5):
 
 
 def _self_attention(x: jnp.ndarray, p: Params, cfg: TemporalConfig) -> jnp.ndarray:
-    """Pre-LN multi-head self-attention over (B, T, D) with no q/kv bias."""
+    """Pre-LN multi-head self-attention over (B, T, D) with no q/kv bias.
+
+    On TPU the fused (B, T, hidden) Pallas kernel handles the attention core
+    (heads split in VMEM, softmax resident on-chip — same design as the CLIP
+    encoder's MHA); elsewhere the einsum formulation runs. Identical math.
+    """
     b, t, d = x.shape
     h, e = cfg.heads, cfg.head_dim
     x = _layer_norm(x, p["ln"]["scale"], p["ln"]["bias"])
     q = x @ p["to_q"]
-    k, v = jnp.split(x @ p["to_kv"], 2, axis=-1)
+    kv = x @ p["to_kv"]
+
+    from anomalyclip_tpu.models.clip.model import _attention_impl
+
+    if _attention_impl() == "pallas":
+        from anomalyclip_tpu.ops.pallas.attention import fused_mha_bld, mha_eligible
+
+        if mha_eligible(b, t, h * e, h, q.dtype.itemsize):
+            k = kv[:, :, : h * e]
+            v = kv[:, :, h * e :]
+            out = fused_mha_bld(q, k, v, h)
+            return out @ p["to_out_w"] + p["to_out_b"]
+
+    k, v = jnp.split(kv, 2, axis=-1)
 
     def heads(t_):
         return t_.reshape(b, -1, h, e).transpose(0, 2, 1, 3)
