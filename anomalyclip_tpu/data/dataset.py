@@ -107,11 +107,8 @@ class VideoDataset:
             self.sampling.stride,
             self.source.num_frames(video),
         )
-        num_label_frames = self.source.num_frames(video)
-        if isinstance(video, VideoRecord):  # frames path labels span the record
-            num_label_frames = record.num_frames
         labels = frame_labels_for(
-            record, self.temporal_annotations, num_label_frames, self.normal_id
+            record, self.temporal_annotations, self.source.num_frames(video), self.normal_id
         )
         return TestItem(
             features=self.source.gather(video, indices),

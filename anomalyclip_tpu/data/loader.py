@@ -132,26 +132,45 @@ class SequentialTestLoader:
 
 
 def _prefetched(gen, depth: int):
-    """Run a generator on a daemon thread with a bounded queue."""
+    """Run a generator on a daemon thread with a bounded queue.
+
+    Abandon-safe: when the consumer stops early (limit_train_batches breaking out
+    of the epoch loop), the generator's close/GC sets ``stop`` and the worker exits
+    instead of blocking forever on a full queue with its buffered batches pinned.
+    """
     if depth <= 0:
         yield from gen
         return
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
-            q.put(_END)
+                if not _put(item):
+                    return
+            _put(_END)
         except BaseException as exc:  # surfaced on the consumer side
-            q.put(exc)
+            _put(exc)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -4,6 +4,9 @@ Behavioral spec from the reference (reference:
 src/data/components/feature_dataset.py:42-121, 226-241, 329-345):
 
 - annotation txt rows: ``REL_PATH START_FRAME END_FRAME LABEL [LABEL...]``
+  (extra LABEL columns — the reference's multi-label hook, feature_dataset.py:88-95 —
+  are ignored: its own pipeline cannot collate list-valued labels, so the first
+  label is the operative one there too)
 - temporal test annotation rows: ``VIDEO ... s1 e1 [s2 e2 ...]`` -> per-frame labels
   (frame ``i`` is anomalous iff any [s, e] contains ``i + start_frame``)
 - optional spatial bbox annotations per abnormal video (VATIC-style columns),

@@ -47,11 +47,13 @@ def preprocess_frame(img, input_size: int = 224) -> np.ndarray:
     from PIL import Image
 
     w, h = img.size
-    # bicubic resize so the short side equals input_size (GroupScale semantics)
+    # bicubic resize so the short side equals input_size (GroupScale semantics);
+    # torchvision Resize TRUNCATES the long side (int(size * long / short)), so
+    # round() would shift the center crop by a pixel on half-fraction aspect ratios
     if w < h:
-        new_w, new_h = input_size, max(int(round(h * input_size / w)), input_size)
+        new_w, new_h = input_size, max(int(h * input_size / w), input_size)
     else:
-        new_h, new_w = input_size, max(int(round(w * input_size / h)), input_size)
+        new_h, new_w = input_size, max(int(w * input_size / h), input_size)
     img = img.resize((new_w, new_h), Image.BICUBIC)
     left = (new_w - input_size) // 2
     top = (new_h - input_size) // 2
@@ -71,10 +73,11 @@ def preprocess_frame_cv2(path: str, input_size: int = 224) -> np.ndarray:
     if img is None:
         raise FileNotFoundError(path)
     h, w = img.shape[:2]
+    # long side truncates, matching preprocess_frame / torchvision Resize
     if w < h:
-        new_w, new_h = input_size, max(int(round(h * input_size / w)), input_size)
+        new_w, new_h = input_size, max(int(h * input_size / w), input_size)
     else:
-        new_h, new_w = input_size, max(int(round(w * input_size / h)), input_size)
+        new_h, new_w = input_size, max(int(w * input_size / h), input_size)
     interp = cv2.INTER_AREA if new_w < w else cv2.INTER_CUBIC
     img = cv2.resize(img, (new_w, new_h), interpolation=interp)
     top = (new_h - input_size) // 2

@@ -56,7 +56,9 @@ def encode_frames_chunked(
     outs = []
     for i in range(0, len(frames), chunk):
         part = frames[i : i + chunk]
-        pad = chunk - len(part) if len(frames) > chunk else 0
+        # pad unconditionally: every call sees the same (chunk, H, W, 3) shape,
+        # so the encoder compiles exactly once across all video lengths
+        pad = chunk - len(part)
         if pad:
             part = np.concatenate([part, np.repeat(part[:1], pad, axis=0)])
         out = np.asarray(encode_jit(frozen, jnp.asarray(part)))

@@ -45,9 +45,13 @@ def roc_curve(scores: np.ndarray, labels: np.ndarray) -> Tuple[np.ndarray, np.nd
     return fpr, tpr, thresholds
 
 
+# np.trapezoid is numpy>=2; np.trapz is its numpy-1.x name
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+
+
 def auroc(scores: np.ndarray, labels: np.ndarray) -> float:
     fpr, tpr, _ = roc_curve(scores, labels)
-    return float(np.trapezoid(tpr, fpr))
+    return float(_trapezoid(tpr, fpr))
 
 
 def precision_recall_curve(

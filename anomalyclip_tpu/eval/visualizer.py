@@ -56,6 +56,11 @@ class Visualizer:
 
         frames_dir = self._frames_dir(video_scores.path)
         name = Path(video_scores.path).stem
+        if frames_dir is None:
+            # features-only run: no JPEGs to show; skip rather than render
+            # placeholder panels for every video of the dataset
+            log.warning(f"no frame directory for {name}; skipping visualization")
+            return
         out_path = self.save_dir / f"{name}.mp4"
         scores = video_scores.scores
         labels = video_scores.frame_labels
@@ -65,15 +70,13 @@ class Visualizer:
         writer = None
         for i in range(0, t, self.frame_step):
             fig, axes = plt.subplots(1, 3, figsize=(15, 4))
-            # frame
-            shown = False
-            if frames_dir is not None:
-                fpath = frames_dir / self.image_tmpl.format(i + 1)
-                if fpath.is_file():
-                    img = cv2.cvtColor(cv2.imread(str(fpath)), cv2.COLOR_BGR2RGB)
-                    axes[0].imshow(img)
-                    shown = True
-            if not shown:
+            # frame panel: 0-based file id, the reference's convention
+            # (visualizer.py:206 image_tmpl.format(i))
+            fpath = frames_dir / self.image_tmpl.format(i)
+            if fpath.is_file():
+                img = cv2.cvtColor(cv2.imread(str(fpath)), cv2.COLOR_BGR2RGB)
+                axes[0].imshow(img)
+            else:
                 axes[0].text(0.5, 0.5, f"frame {i}", ha="center")
             axes[0].set_axis_off()
 

@@ -28,26 +28,23 @@ def _fake_scores(t: int, n_abn: int, path: str) -> VideoScores:
     )
 
 
-def test_process_video_without_frames(tmp_path):
-    """Features-only run: no JPEG dir -> placeholder frame panel, mp4 written."""
+def test_process_video_without_frames_skips(tmp_path):
+    """Features-only run: no JPEG dir -> skipped with a warning, no mp4 rendered."""
     viz = Visualizer(
         normal_id=3, labels_file=str(LABELS), save_dir=tmp_path, frame_step=16
     )
     vs = _fake_scores(t=48, n_abn=5, path=str(tmp_path / "video01.npy"))
     viz.process_video(vs)
-    out = tmp_path / "visualizations" / "video01.mp4"
-    assert out.is_file() and out.stat().st_size > 0
-    cap = cv2.VideoCapture(str(out))
-    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 3  # ceil(48/16)
-    cap.release()
+    assert not (tmp_path / "visualizations" / "video01.mp4").exists()
 
 
 def test_process_video_with_frames(tmp_path):
-    """Frames present: the real JPEGs are loaded into the frame panel."""
+    """Frames present: the real JPEGs are loaded into the frame panel (0-based file
+    ids, reference visualizer.py:206) and an mp4 is written."""
     frames_dir = tmp_path / "video02"
     frames_dir.mkdir()
     rng = np.random.default_rng(1)
-    for i in range(1, 33):
+    for i in range(32):
         img = rng.integers(0, 255, size=(32, 48, 3), dtype=np.uint8)
         cv2.imwrite(str(frames_dir / f"{i:06d}.jpg"), img)
 
@@ -58,3 +55,6 @@ def test_process_video_with_frames(tmp_path):
     viz.process_video(vs)
     out = tmp_path / "visualizations" / "video02.mp4"
     assert out.is_file() and out.stat().st_size > 0
+    cap = cv2.VideoCapture(str(out))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4  # ceil(32/8)
+    cap.release()
