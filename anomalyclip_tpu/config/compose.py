@@ -249,7 +249,8 @@ def compose(
     for group, choice in group_choices.items():
         if group not in chosen:
             order.append(group)
-        chosen[group] = _strip_ext(choice)
+        # `<group>=null` disables the group (the standard hydra idiom)
+        chosen[group] = None if choice in ("null", "none", "None") else _strip_ext(choice)
 
     # Experiment bundles are "@package _global_": load first to collect their group
     # overrides, merge their non-defaults keys at the end (reference:

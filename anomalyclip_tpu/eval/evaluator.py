@@ -85,10 +85,12 @@ class GridScorer:
         bn_state: Optional[BNState] = None,
         ncentroid=None,
         buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
+        encode_jit=None,
     ):
         self.model = model
         self.buckets = buckets
         self._text_fn = jax.jit(model.text_features)
+        self._encode_jit = encode_jit  # optionally shared by the caller
 
         def score(
             text_features, temporal_params, bn_state, ncentroid, grids
@@ -111,7 +113,6 @@ class GridScorer:
                 return similarity, scores
 
         self._score = jax.jit(score)
-        self._encode_jit = None
         if trainable is not None:
             self.update(frozen, trainable, bn_state, ncentroid)
 

@@ -121,18 +121,16 @@ def _mha_bld_impl(q, k, v, num_heads: int, causal: bool, interpret: bool):
 
 
 def _xla_mha_bld(q, k, v, num_heads, causal):
+    """(B, L, D) wrapper over the single XLA reference formulation (one source of
+    truth for both custom-VJP backward passes)."""
     b, l, d = q.shape
     dh = d // num_heads
-    qh = q.reshape(b, l, num_heads, dh)
-    kh = k.reshape(b, l, num_heads, dh)
-    vh = v.reshape(b, l, num_heads, dh)
-    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
-    s = s * (1.0 / math.sqrt(dh))
-    if causal:
-        mask = jnp.tril(jnp.ones((l, l), dtype=bool))
-        s = jnp.where(mask, s, -jnp.inf)
-    w = jax.nn.softmax(s, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(b, l, d)
+
+    def split(t):
+        return t.reshape(b, l, num_heads, dh).transpose(0, 2, 1, 3)
+
+    out = _xla_attention(split(q), split(k), split(v), causal)
+    return out.transpose(0, 2, 1, 3).reshape(b, l, d)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

@@ -39,19 +39,38 @@ def _from_saved(raw: Dict[str, Any]) -> Dict[str, Any]:
 
 
 class CheckpointManager:
-    def __init__(self, run_dir: str | Path, save_top_k: int = -1):
+    def __init__(self, run_dir: str | Path, save_top_k: int = -1, save_last: bool = True):
         self.ckpt_dir = Path(run_dir) / "checkpoints"
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+        self.save_top_k = save_top_k
+        self.save_last = save_last
         self._saver = ocp.StandardCheckpointer()
 
     def save_epoch(self, epoch: int, state: Dict[str, Any]) -> Path:
         """epoch_{epoch:03d} + refreshed ``last`` (save_last semantics of
-        configs/callbacks/model_checkpoint.yaml)."""
+        configs/callbacks/model_checkpoint.yaml).
+
+        ``last`` is a symlink to the newest epoch directory — one serialize per
+        epoch instead of two. ``save_top_k > 0`` keeps only the newest k epoch
+        checkpoints (monitor: null in the reference default, so "top" = newest).
+        """
         payload = _to_saveable(state)
         path = self.ckpt_dir / f"epoch_{epoch:03d}"
         self._saver.save(path.resolve(), payload, force=True)
-        self._saver.save((self.ckpt_dir / "last").resolve(), payload, force=True)
         self._saver.wait_until_finished()
+        if self.save_last:
+            last = self.ckpt_dir / "last"
+            tmp = self.ckpt_dir / ".last.tmp"
+            if tmp.is_symlink() or tmp.exists():
+                tmp.unlink()
+            tmp.symlink_to(path.name)
+            tmp.replace(last)  # atomic swap
+        if self.save_top_k and self.save_top_k > 0:
+            epochs = sorted(self.ckpt_dir.glob("epoch_*"))
+            for old in epochs[: -self.save_top_k]:
+                import shutil
+
+                shutil.rmtree(old, ignore_errors=True)
         return path
 
     def restore(

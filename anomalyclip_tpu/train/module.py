@@ -142,27 +142,39 @@ class AnomalyCLIPTrainModule:
             f"data mesh: {self.mesh.shape} over {self.mesh.devices.ravel()[0].platform}"
         )
 
-        self.ckpt = CheckpointManager(self.save_dir)
+        mc_cfg = (cfg.get("callbacks") or ConfigNode()).get("model_checkpoint") or {}
+        self.ckpt = CheckpointManager(
+            self.save_dir,
+            save_top_k=int(mc_cfg.get("save_top_k", -1) or -1),
+            save_last=bool(mc_cfg.get("save_last", True)),
+        )
+        self._ckpt_every_n_epochs = int(mc_cfg.get("every_n_epochs", 1) or 1)
         self.loggers = MetricLoggerSet(cfg.get("logger"), self.save_dir)
         self.ncentroid: Optional[np.ndarray] = None
         self._encode_frames_jit = None
 
     # ------------------------------------------------------------------ data
 
-    def _frame_features(self, features: np.ndarray) -> np.ndarray:
-        """Encode raw frames to CLIP features for the ncentroid pass (frames path);
-        shares the evaluator's chunked encoder (one compile for both passes)."""
-        from anomalyclip_tpu.eval.evaluator import encode_frames_chunked
-
+    def _encode_jit(self):
+        """The one jitted CLIP frame encoder, shared by the ncentroid pass and the
+        evaluator (one compile per model)."""
         if self._encode_frames_jit is None:
             self._encode_frames_jit = jax.jit(self.model.encode_frames)
-        return encode_frames_chunked(self._encode_frames_jit, self.frozen, features)
+        return self._encode_frames_jit
+
+    def _frame_features(self, features: np.ndarray) -> np.ndarray:
+        """Encode raw frames to CLIP features for the ncentroid pass (frames path)."""
+        from anomalyclip_tpu.eval.evaluator import encode_frames_chunked
+
+        return encode_frames_chunked(self._encode_jit(), self.frozen, features)
 
     def compute_ncentroid(self, limit: Optional[int] = None) -> np.ndarray:
         """Mean CLIP feature over every frame of the normal training videos
         (anomaly_clip_module.py:134-171); cached as ncentroid.npy."""
         cached = load_ncentroid(self.save_dir)
-        if cached is not None:
+        if cached is not None and limit is None:
+            # limited passes (fast_dev_run) neither trust nor write the cache: a
+            # 1-video centroid in the run dir must not poison later full runs
             self.ncentroid = cached
             return cached
         log.info("computing ncentroid over normal training videos ...")
@@ -177,7 +189,8 @@ class AnomalyCLIPTrainModule:
             total += flat.reshape(len(flat), -1).sum(axis=0, dtype=np.float64)
             count += len(flat)
         ncentroid = (total / max(count, 1)).astype(np.float32)
-        save_ncentroid(self.save_dir, ncentroid)
+        if limit is None:  # never cache a truncated centroid
+            save_ncentroid(self.save_dir, ncentroid)
         self.ncentroid = ncentroid
         return ncentroid
 
@@ -477,7 +490,11 @@ class AnomalyCLIPTrainModule:
                     else:
                         es_bad_epochs += 1
 
-            if not fast_dev_run and is_host_zero():
+            if (
+                not fast_dev_run
+                and is_host_zero()
+                and (epoch + 1) % self._ckpt_every_n_epochs == 0
+            ):
                 self.ckpt.save_epoch(
                     epoch,
                     {
@@ -508,10 +525,7 @@ class AnomalyCLIPTrainModule:
         """Cached scorer: the jitted executable persists across epochs; only the
         parameters are swapped (kills the per-epoch revalidation recompiles)."""
         if getattr(self, "_scorer_cache", None) is None or self._scorer_cache.model is not self.model:
-            self._scorer_cache = GridScorer(self.model)
-        if self._encode_frames_jit is not None:
-            # share the ncentroid pass's compiled frame encoder with the evaluator
-            self._scorer_cache._encode_jit = self._encode_frames_jit
+            self._scorer_cache = GridScorer(self.model, encode_jit=self._encode_jit())
         return self._scorer_cache.update(
             self.frozen, state.trainable, state.bn_state, jnp.asarray(self.ncentroid)
         )
@@ -580,6 +594,7 @@ class AnomalyCLIPTrainModule:
                     self.model, _ = AnomalyCLIP.build(
                         self.net_cfg, frozen["clip"], ckpt_clip_cfg
                     )
+                    self._encode_frames_jit = None  # stale jit for the old model
                 self.frozen = jax.tree_util.tree_map(jnp.asarray, frozen)
                 state = TrainState(
                     trainable=jax.tree_util.tree_map(jnp.asarray, trainable),

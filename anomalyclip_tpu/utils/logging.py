@@ -20,6 +20,22 @@ def is_host_zero() -> bool:
     return jax.process_index() == 0
 
 
+class _HostZeroFilter(logging.Filter):
+    """Suppress sub-WARNING records on non-zero hosts, checking the process index
+    lazily at emit time. Creating a logger must NOT touch jax: querying
+    process_index initializes the XLA backend, and jax.distributed.initialize()
+    refuses to run after that — an import-time check would break every multi-host
+    entry (the entry points call maybe_initialize_distributed before logging)."""
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        if record.levelno >= logging.WARNING:
+            return True
+        try:
+            return is_host_zero()
+        except Exception:  # pre-init edge: behave like host 0
+            return True
+
+
 def get_logger(name: str = "anomalyclip_tpu") -> logging.Logger:
     """Console logger that only emits on host 0 (pylogger.py:15-24 analogue)."""
     logger = logging.getLogger(name)
@@ -28,8 +44,9 @@ def get_logger(name: str = "anomalyclip_tpu") -> logging.Logger:
         handler.setFormatter(
             logging.Formatter("[%(asctime)s][%(name)s][%(levelname)s] %(message)s")
         )
+        handler.addFilter(_HostZeroFilter())
         logger.addHandler(handler)
-        logger.setLevel(logging.INFO if is_host_zero() else logging.WARNING)
+        logger.setLevel(logging.INFO)
         logger.propagate = False
     return logger
 
@@ -42,6 +59,13 @@ class CSVMetricLogger:
         self.dir.mkdir(parents=True, exist_ok=True)
         self.path = self.dir / "metrics.csv"
         self._fieldnames: Optional[List[str]] = None
+        if self.path.is_file():
+            # resuming into an existing run dir: adopt the file's fields so prior
+            # metric history survives (a fresh logger must not truncate it)
+            with open(self.path) as f:
+                header = next(csv.reader(f), None)
+            if header:
+                self._fieldnames = header
 
     def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
         row = {"step": step, **{k: float(v) for k, v in metrics.items()}}

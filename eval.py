@@ -22,12 +22,23 @@ def main(argv=None) -> dict:
 
         jax.config.update("jax_platforms", "cpu")
 
+    # multi-host bring-up before any backend-initializing jax call
+    from anomalyclip_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     os.environ.setdefault("PROJECT_ROOT", str(Path(__file__).resolve().parent))
 
     from anomalyclip_tpu.config import compose
     from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
 
     cfg = compose(Path(__file__).parent / "configs", "eval", argv)
+
+    if not cfg.get("data") or not cfg.get("model"):
+        raise SystemExit(
+            "No data/model configured. Run with explicit groups, e.g.\n"
+            "  python eval.py data=ucfcrime model=anomaly_clip_ucfcrime ckpt_path=..."
+        )
 
     from anomalyclip_tpu.utils.extras import apply_extras
 

@@ -21,15 +21,48 @@ from pathlib import Path
 
 def _apply_platform_overrides(argv) -> None:
     """Pick the backend before any jax device query. trainer=cpu / accelerator=cpu
-    forces the host platform (the reference's configs/trainer/cpu.yaml analogue)."""
+    forces the host platform (the reference's configs/trainer/cpu.yaml analogue);
+    trainer=dp_sim additionally fans the host platform out to N virtual devices
+    (the ddp_spawn-on-CPU simulation, reference configs/trainer/ddp_sim.yaml)."""
     wants_cpu = any(
         a in ("trainer=cpu", "trainer=dp_sim", "trainer.accelerator=cpu") for a in argv
     )
+    if "trainer=dp_sim" in argv:
+        n = 2  # configs/trainer/dp_sim.yaml devices default
+        for a in argv:
+            if a.startswith("trainer.devices="):
+                n = int(a.split("=", 1)[1])
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n}"
+            ).strip()
     if wants_cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if "trainer=dp_sim" in argv:
+        import jax
+
+        n = 2
+        for a in argv:
+            if a.startswith("trainer.devices="):
+                n = int(a.split("=", 1)[1])
+        if len(jax.devices()) < n:
+            # an accelerator plugin consumed the XLA_FLAGS parse before the
+            # host-platform fan-out could apply (same situation as
+            # __graft_entry__.dryrun_multichip): re-exec without it
+            import subprocess
+            import sys as _sys
+
+            env = dict(os.environ)
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            result = subprocess.run(
+                [_sys.executable, os.path.abspath(__file__)] + argv, env=env
+            )
+            raise SystemExit(result.returncode)
 
 
 def _expand_multirun(overrides):
@@ -58,6 +91,13 @@ def _expand_multirun(overrides):
 def main(argv=None) -> dict:
     argv = list(sys.argv[1:] if argv is None else argv)
     _apply_platform_overrides(argv)
+
+    # multi-host bring-up MUST precede any jax call that initializes the XLA
+    # backend (jax.distributed.initialize refuses to run afterwards) — including
+    # the first logger's host check
+    from anomalyclip_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
 
     os.environ.setdefault("PROJECT_ROOT", str(Path(__file__).resolve().parent))
 
@@ -235,7 +275,13 @@ def _single_run(argv) -> dict:
     # src/utils/utils.py:95-112 get_metric_value)
     optimized = cfg.get("optimized_metric")
     if optimized:
+        from anomalyclip_tpu.utils.logging import is_host_zero
+
         if optimized not in metrics:
+            if not is_host_zero():
+                # non-zero hosts get {} from test() by design (rank-zero metrics,
+                # reference anomaly_clip_module.py:458); don't kill the job
+                return metrics
             raise KeyError(
                 f"optimized_metric '{optimized}' not found in result metrics "
                 f"{sorted(metrics)}"
