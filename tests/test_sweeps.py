@@ -1,0 +1,76 @@
+"""Sweep tests: subprocess-launched multirun and hparams_search, mirroring the
+reference's test shape (reference: tests/test_sweeps.py — launched via `sh`) with
+sweeps that actually optimize logged metrics."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+
+def _run_train(tmp_path, *args, timeout=420):
+    env = {
+        "PROJECT_ROOT": str(REPO_ROOT),
+        "SYNTHETIC_ROOT": str(tmp_path / "synthetic"),
+        "LOG_DIR": str(tmp_path / "logs"),
+        "PATH": "/usr/bin:/bin",
+        "JAX_PLATFORMS": "cpu",
+        "HOME": str(tmp_path),
+    }
+    import os
+
+    env["PATH"] = os.environ.get("PATH", env["PATH"])
+    return subprocess.run(
+        [sys.executable, str(REPO_ROOT / "train.py"), *args],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=str(REPO_ROOT),
+    )
+
+
+@pytest.mark.slow
+def test_multirun_grid_creates_run_dirs(tmp_path):
+    """`-m` comma grid -> one run dir per job (reference: tests/test_sweeps.py:24-36)."""
+    result = _run_train(
+        tmp_path,
+        "-m",
+        "experiment=synthetic",
+        "trainer=cpu",
+        "trainer.max_epochs=1",
+        "trainer.limit_train_batches=1",
+        "trainer.limit_val_batches=1",
+        "model.solver.lr=1e-5,1e-4",
+        "test=False",
+        "extras.print_config=False",
+    )
+    assert result.returncode == 0, result.stdout[-2000:] + result.stderr[-2000:]
+    assert "multirun: 2 jobs" in result.stdout
+    base = tmp_path / "logs" / "train" / "runs" / "synthetic"
+    assert (base / "0").is_dir() and (base / "1").is_dir()
+
+
+@pytest.mark.slow
+def test_hparams_search_reports_best(tmp_path):
+    result = _run_train(
+        tmp_path,
+        "experiment=synthetic",
+        "trainer=cpu",
+        "trainer.max_epochs=1",
+        "trainer.limit_train_batches=1",
+        "trainer.limit_val_batches=2",
+        "hparams_search=synthetic_random",
+        "hparams_search.n_trials=2",
+        "test=False",
+        "extras.print_config=False",
+    )
+    assert result.returncode == 0, result.stdout[-2000:] + result.stderr[-2000:]
+    assert "hparams_search: 2 trials" in result.stdout
+    assert "hparams_search best: trial" in result.stdout
+    base = tmp_path / "logs" / "train" / "runs" / "synthetic"
+    assert (base / "trial_0").is_dir() and (base / "trial_1").is_dir()
