@@ -100,3 +100,22 @@ def test_from_frames_path(tmp_path):
     module = AnomalyCLIPTrainModule(cfg)
     metrics = module.fit()
     assert np.isfinite(metrics["auc_roc"])
+
+
+@pytest.mark.slow
+def test_profiler_trace_written(tmp_path):
+    """trainer.profiler=jax drops a profiler trace under the run dir
+    (reference: configs/debug/profiler.yaml -> Lightning profiler)."""
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    cfg = synthetic_cfg(
+        tmp_path,
+        "trainer.max_epochs=1",
+        "trainer.limit_train_batches=1",
+        "trainer.limit_val_batches=1",
+        "trainer.profiler=jax",
+    )
+    module = AnomalyCLIPTrainModule(cfg)
+    module.fit()
+    traces = list((module.save_dir / "profile").rglob("*.xplane.pb"))
+    assert traces, "no profiler trace written"
