@@ -119,3 +119,22 @@ def test_profiler_trace_written(tmp_path):
     module.fit()
     traces = list((module.save_dir / "profile").rglob("*.xplane.pb"))
     assert traces, "no profiler trace written"
+
+
+@pytest.mark.slow
+def test_bf16_compute_dtype(tmp_path):
+    """Mixed-precision training (the reference's AMP 1-epoch test analogue,
+    tests/test_train.py:29-38): compute_dtype=bfloat16 trains to finite loss and
+    validates."""
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    cfg = synthetic_cfg(
+        tmp_path,
+        "trainer.max_epochs=1",
+        "trainer.limit_train_batches=2",
+        "trainer.limit_val_batches=2",
+        "model.net.compute_dtype=bfloat16",
+    )
+    module = AnomalyCLIPTrainModule(cfg)
+    metrics = module.fit()
+    assert np.isfinite(metrics["auc_roc"])
