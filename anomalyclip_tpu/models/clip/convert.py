@@ -38,21 +38,30 @@ def load_torch_state_dict(path: str | Path) -> Dict[str, np.ndarray]:
 
 
 def config_from_state_dict(sd: Dict[str, np.ndarray]) -> CLIPConfig:
-    """Infer CLIPConfig from checkpoint shapes (model.py:462-499). ViT only."""
-    if "visual.proj" not in sd:
-        raise ValueError(
-            "Only ViT CLIP architectures are supported (every reference config uses "
-            "ViT-B/16; the ModifiedResNet tower is unused there)."
+    """Infer CLIPConfig from checkpoint shapes (model.py:462-499): ViT when
+    ``visual.proj`` exists, ModifiedResNet otherwise."""
+    if "visual.proj" in sd:
+        vision_width = sd["visual.conv1.weight"].shape[0]
+        vision_layers = len(
+            [k for k in sd if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")]
         )
-    vision_width = sd["visual.conv1.weight"].shape[0]
-    vision_layers = len(
-        [k for k in sd if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")]
-    )
-    vision_patch_size = sd["visual.conv1.weight"].shape[-1]
-    grid_size = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+        vision_patch_size = sd["visual.conv1.weight"].shape[-1]
+        grid_size = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+        image_resolution = vision_patch_size * grid_size
+    else:
+        vision_layers = tuple(
+            len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}")})
+            for b in (1, 2, 3, 4)
+        )
+        vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+        output_width = round(
+            (sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5
+        )
+        vision_patch_size = None
+        image_resolution = output_width * 32
     return CLIPConfig(
         embed_dim=sd["text_projection"].shape[1],
-        image_resolution=vision_patch_size * grid_size,
+        image_resolution=image_resolution,
         vision_layers=vision_layers,
         vision_width=vision_width,
         vision_patch_size=vision_patch_size,
@@ -100,27 +109,89 @@ def _stack_blocks(sd: Dict[str, np.ndarray], prefix: str, layers: int) -> Params
     }
 
 
+def _conv_hwio(w: np.ndarray) -> np.ndarray:
+    """torch OIHW conv kernel -> HWIO."""
+    return w.transpose(2, 3, 1, 0).copy()
+
+
+def _bn_params(sd: Dict[str, np.ndarray], prefix: str) -> Params:
+    return {
+        "scale": sd[f"{prefix}.weight"],
+        "bias": sd[f"{prefix}.bias"],
+        "mean": sd[f"{prefix}.running_mean"],
+        "var": sd[f"{prefix}.running_var"],
+    }
+
+
+def _resnet_visual_params(sd: Dict[str, np.ndarray], cfg: CLIPConfig) -> Params:
+    """ModifiedResNet weights -> the pytree of models/clip/resnet.py."""
+
+    def bottleneck(prefix: str) -> Params:
+        p = {
+            "conv1_w": _conv_hwio(sd[f"{prefix}.conv1.weight"]),
+            "bn1": _bn_params(sd, f"{prefix}.bn1"),
+            "conv2_w": _conv_hwio(sd[f"{prefix}.conv2.weight"]),
+            "bn2": _bn_params(sd, f"{prefix}.bn2"),
+            "conv3_w": _conv_hwio(sd[f"{prefix}.conv3.weight"]),
+            "bn3": _bn_params(sd, f"{prefix}.bn3"),
+        }
+        if f"{prefix}.downsample.0.weight" in sd:
+            p["down_conv_w"] = _conv_hwio(sd[f"{prefix}.downsample.0.weight"])
+            p["down_bn"] = _bn_params(sd, f"{prefix}.downsample.1")
+        return p
+
+    visual: Params = {
+        "stem": {
+            "conv1_w": _conv_hwio(sd["visual.conv1.weight"]),
+            "bn1": _bn_params(sd, "visual.bn1"),
+            "conv2_w": _conv_hwio(sd["visual.conv2.weight"]),
+            "bn2": _bn_params(sd, "visual.bn2"),
+            "conv3_w": _conv_hwio(sd["visual.conv3.weight"]),
+            "bn3": _bn_params(sd, "visual.bn3"),
+        },
+        "attnpool": {
+            "positional_embedding": sd["visual.attnpool.positional_embedding"],
+            "q_w": sd["visual.attnpool.q_proj.weight"].T.copy(),
+            "q_b": sd["visual.attnpool.q_proj.bias"],
+            "k_w": sd["visual.attnpool.k_proj.weight"].T.copy(),
+            "k_b": sd["visual.attnpool.k_proj.bias"],
+            "v_w": sd["visual.attnpool.v_proj.weight"].T.copy(),
+            "v_b": sd["visual.attnpool.v_proj.bias"],
+            "c_w": sd["visual.attnpool.c_proj.weight"].T.copy(),
+            "c_b": sd["visual.attnpool.c_proj.bias"],
+        },
+    }
+    for li, blocks in enumerate(cfg.vision_layers, start=1):
+        visual[f"layer{li}"] = [
+            bottleneck(f"visual.layer{li}.{bi}") for bi in range(blocks)
+        ]
+    return visual
+
+
 def torch_state_dict_to_params(
     sd: Dict[str, np.ndarray],
 ) -> Tuple[Params, CLIPConfig]:
     """Convert an OpenAI CLIP state dict (numpy values) into the JAX pytree."""
     cfg = config_from_state_dict(sd)
-    conv = sd["visual.conv1.weight"]  # (width, 3, p, p), flattens channel-major
-    visual = {
-        "patch_embed": conv.reshape(cfg.vision_width, -1).T.copy(),
-        "class_embedding": sd["visual.class_embedding"],
-        "positional_embedding": sd["visual.positional_embedding"],
-        "ln_pre": {
-            "scale": sd["visual.ln_pre.weight"],
-            "bias": sd["visual.ln_pre.bias"],
-        },
-        "blocks": _stack_blocks(sd, "visual.transformer", cfg.vision_layers),
-        "ln_post": {
-            "scale": sd["visual.ln_post.weight"],
-            "bias": sd["visual.ln_post.bias"],
-        },
-        "proj": sd["visual.proj"],
-    }
+    if cfg.is_resnet:
+        visual = _resnet_visual_params(sd, cfg)
+    else:
+        conv = sd["visual.conv1.weight"]  # (width, 3, p, p), flattens channel-major
+        visual = {
+            "patch_embed": conv.reshape(cfg.vision_width, -1).T.copy(),
+            "class_embedding": sd["visual.class_embedding"],
+            "positional_embedding": sd["visual.positional_embedding"],
+            "ln_pre": {
+                "scale": sd["visual.ln_pre.weight"],
+                "bias": sd["visual.ln_pre.bias"],
+            },
+            "blocks": _stack_blocks(sd, "visual.transformer", cfg.vision_layers),
+            "ln_post": {
+                "scale": sd["visual.ln_post.weight"],
+                "bias": sd["visual.ln_post.bias"],
+            },
+            "proj": sd["visual.proj"],
+        }
     text = {
         "token_embedding": sd["token_embedding.weight"],
         "positional_embedding": sd["positional_embedding"],

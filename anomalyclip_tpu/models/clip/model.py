@@ -48,9 +48,10 @@ def matmul_precision_for(compute_dtype) -> contextlib.AbstractContextManager:
 class CLIPConfig:
     embed_dim: int = 512
     image_resolution: int = 224
-    vision_layers: int = 12
+    # int -> ViT depth; tuple -> ModifiedResNet stage depths (model.py:477-487)
+    vision_layers: Any = 12
     vision_width: int = 768
-    vision_patch_size: int = 16
+    vision_patch_size: Optional[int] = 16  # None -> ModifiedResNet tower
     context_length: int = 77
     vocab_size: int = 49408
     transformer_width: int = 512
@@ -58,7 +59,13 @@ class CLIPConfig:
     transformer_layers: int = 12
 
     @property
+    def is_resnet(self) -> bool:
+        return self.vision_patch_size is None
+
+    @property
     def vision_heads(self) -> int:
+        if self.is_resnet:
+            return self.vision_width * 32 // 64  # model.py:300-309
         return self.vision_width // 64
 
     @property
@@ -241,8 +248,15 @@ def encode_image(
     images: jnp.ndarray,
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
-    """ViT forward: (B, H, W, 3) NHWC -> (B, embed_dim) (model.py:266-290)."""
+    """Visual forward: (B, H, W, 3) NHWC -> (B, embed_dim). ViT (model.py:266-290)
+    or ModifiedResNet (model.py:159-171) depending on the config."""
     with matmul_precision_for(compute_dtype):
+        if cfg.is_resnet:
+            from anomalyclip_tpu.models.clip.resnet import resnet_encode_image
+
+            return resnet_encode_image(
+                params["visual"], images, cfg.vision_heads, compute_dtype
+            )
         return _encode_image(params, cfg, images, compute_dtype)
 
 

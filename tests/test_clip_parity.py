@@ -160,3 +160,42 @@ def test_text_on_embeddings_matches_encode_text(torch_and_jax):
         text_transformer_on_embeddings(params, cfg, embeddings, eot)
     )
     np.testing.assert_allclose(via_embeddings, via_tokens, rtol=1e-5, atol=1e-6)
+
+
+def test_modified_resnet_parity():
+    """ModifiedResNet tower (RN-family CLIP checkpoints): converter + NHWC forward
+    vs the reference torch model in eval mode (reference: model.py:10-171)."""
+    import torch
+
+    ref = load_reference_clip_model()
+    torch.manual_seed(11)
+    model = ref.CLIP(
+        embed_dim=64,
+        image_resolution=64,         # attnpool spacial_dim = 2
+        vision_layers=(1, 1, 1, 1),  # tuple -> ModifiedResNet
+        vision_width=16,
+        vision_patch_size=None,
+        context_length=77,
+        vocab_size=VOCAB,
+        transformer_width=128,
+        transformer_heads=2,
+        transformer_layers=2,
+    ).float().eval()
+    # randomize BN running stats so eval-mode BN is actually exercised
+    with torch.no_grad():
+        for mod in model.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.normal_(0, 0.5)
+                mod.running_var.uniform_(0.5, 1.5)
+
+    sd = {k: np.asarray(v.detach().numpy()) for k, v in model.state_dict().items()}
+    params, cfg = torch_state_dict_to_params(sd)
+    assert cfg.is_resnet and cfg.vision_layers == (1, 1, 1, 1)
+    assert cfg.image_resolution == 64 and cfg.vision_heads == 16 * 32 // 64
+
+    rng = np.random.default_rng(5)
+    images = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = model.encode_image(torch.from_numpy(images)).numpy()
+    got = np.asarray(encode_image(params, cfg, images.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
