@@ -240,7 +240,9 @@ def main(argv=None) -> None:
         "step": np.asarray(0, np.int32),
         "epoch": np.asarray(-1, np.int32),
     }
-    ocp.StandardCheckpointer().save(Path(args.out_dir).resolve(), payload, force=True)
+    saver = ocp.StandardCheckpointer()
+    saver.save(Path(args.out_dir).resolve(), payload, force=True)
+    saver.wait_until_finished()  # the save is async; don't exit before it lands
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(trainable))
     print(f"converted {args.ckpt} -> {args.out_dir} ({n_params:,} trainable params)")
 

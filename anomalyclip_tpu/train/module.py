@@ -606,6 +606,16 @@ class AnomalyCLIPTrainModule:
                 )
             else:
                 restored = self.ckpt.restore(ckpt_path)
+                ctx = np.asarray(restored["trainable"]["prompt_ctx"])
+                if ctx.shape[-1] != self.model.prompt_spec.ctx_dim:
+                    raise ValueError(
+                        f"checkpoint prompt ctx dim {ctx.shape[-1]} does not match "
+                        f"the session's CLIP text width {self.model.prompt_spec.ctx_dim} "
+                        "— evaluate with the model config the checkpoint was trained "
+                        "with (a converted Orbax dir carries only the trainable "
+                        "params; pass the original .ckpt instead for a self-contained "
+                        "eval that rebuilds the model around its own CLIP)"
+                    )
                 state = TrainState(
                     trainable=restored["trainable"],
                     opt_state=None,
