@@ -11,9 +11,16 @@ import os
 # plain env vars are too late: force the platform through jax.config (effective
 # because no backend has initialized yet) and set the flag with an override.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# force EXACTLY 8 devices: a pre-existing flag with a different count (e.g. a
+# shell that ran trainer=dp_sim) would otherwise silently skip the whole
+# multi-device suite via its device-count skipif
+flags = [
+    f
+    for f in os.environ.get("XLA_FLAGS", "").split()
+    if "xla_force_host_platform_device_count" not in f
+]
+flags.append("--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = " ".join(flags)
 
 import jax
 

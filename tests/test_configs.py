@@ -64,6 +64,13 @@ def test_eval_root_composes():
 def test_debug_bundles_override_experiment():
     cfg = compose(CONFIG_DIR, "train", ["experiment=synthetic", "debug=limit"])
     assert cfg.trainer.max_epochs == 3
-    assert cfg.trainer.limit_train_batches == 0.05
+    # reference fractions (configs/debug/limit.yaml): 1% train, 5% val/test
+    assert cfg.trainer.limit_train_batches == 0.01
+    assert cfg.trainer.limit_val_batches == 0.05
     cfg = compose(CONFIG_DIR, "train", ["experiment=synthetic", "debug=fdr"])
     assert cfg.trainer.fast_dev_run is True
+    # debug bundles inherit debug/default: separate task dir, CPU, no callbacks
+    assert cfg.task_name == "debug"
+    assert cfg.trainer.accelerator == "cpu"
+    assert cfg.get("callbacks") is None
+    assert cfg.trainer.detect_anomaly is True

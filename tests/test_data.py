@@ -115,9 +115,6 @@ def test_train_start_indices_formula_matches(oracle_dataset_cls, synthetic_dirs)
         stride=STRIDE,
     )
 
-    class _ZeroJitter(np.random.Generator):
-        pass
-
     class _FixedRng:
         def integers(self, low, high=None, size=None):
             return np.zeros(size, dtype=np.int64)

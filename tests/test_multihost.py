@@ -63,18 +63,25 @@ def test_two_process_cpu_distributed(tmp_path):
         }
     )
     procs = []
-    for pid in range(2):
-        env = dict(env_base, JAX_PROCESS_ID=str(pid))
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, "-c", _WORKER],
-                env=env,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-                text=True,
+    try:
+        for pid in range(2):
+            env = dict(env_base, JAX_PROCESS_ID=str(pid))
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, "-c", _WORKER],
+                    env=env,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                    text=True,
+                )
             )
-        )
-    outs = [p.communicate(timeout=180)[0] for p in procs]
+        outs = [p.communicate(timeout=180)[0] for p in procs]
+    finally:
+        # a worker stuck waiting for its dead peer must not outlive the test
+        # (it would hold the coordinator port and hang later runs)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"proc {pid}: ok" in out, out

@@ -240,6 +240,17 @@ def _single_run(argv) -> dict:
             "or pass data=<name> model=<name> explicitly."
         )
 
+    # composed configs (e.g. debug bundles) can force the CPU platform too; this
+    # must run before anything initializes the backend (first host-0 log check)
+    if (cfg.get("trainer") or {}).get("accelerator") == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # backend already up (e.g. multirun logged first)
+            pass
+
     from anomalyclip_tpu.utils.extras import apply_extras
 
     apply_extras(cfg)
