@@ -146,3 +146,46 @@ def test_direction_logits_shape_and_normal_drop():
     text2[NORMAL_ID] += 100.0
     out2 = np.asarray(direction_logits(image, text2, ncentroid, NORMAL_ID))
     np.testing.assert_array_equal(out, out2)
+
+
+@pytest.mark.parametrize("k", [1, N])
+def test_select_topk_edge_k(oracle, k):
+    """k=1 (single segment) and k=num_segments (select everything) vs the oracle —
+    boundary cases the default config never exercises."""
+    import torch
+
+    ref = load_reference_selector()
+    oracle_k = ref.SelectorModel(
+        classnames=[f"c{i}" for i in range(C)],
+        normal_id=NORMAL_ID,
+        logit_scale=torch.nn.Parameter(torch.ones(())),
+        num_segments=N,
+        seg_length=L,
+        select_idx_dropout_topk=0.7,
+        select_idx_dropout_bottomk=0.7,
+        num_topk=k,
+        num_bottomk=k,
+    )
+    cfg_k = SelectorConfig(
+        normal_id=NORMAL_ID, num_segments=N, seg_length=L, num_topk=k, num_bottomk=k
+    )
+    rng = np.random.default_rng(4 + k)
+    logits = rng.standard_normal((B, N * L, C - 1)).astype(np.float32)
+    _, _, _, labels = _random_inputs(5)
+    mask = np.ones((B, N), dtype=bool)  # keep all: k=N requires every segment
+
+    mask_t = torch.ones((B, N))
+    mask_expanded = mask_t.unsqueeze(2).expand([-1, -1, C - 1])
+    logits_t = torch.from_numpy(logits)
+    labels_t = torch.from_numpy(labels)
+
+    for largest, fn in ((True, oracle_k.select_topk), (False, oracle_k.select_bottomk)):
+        want_sel, want_idx = fn(logits_t, labels_t, mask_expanded)
+        got_sel, got_idx_abn, got_idx_nor = select_topk(
+            logits, labels, mask, cfg_k, largest=largest
+        )
+        got_idx = np.concatenate([np.asarray(got_idx_abn), np.asarray(got_idx_nor)])
+        np.testing.assert_array_equal(got_idx, want_idx.numpy())
+        np.testing.assert_allclose(
+            np.asarray(got_sel), want_sel.reshape(-1, C - 1).numpy(), rtol=1e-5, atol=1e-6
+        )
