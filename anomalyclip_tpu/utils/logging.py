@@ -149,6 +149,55 @@ class MLflowMetricLogger:
         self._mlflow.end_run()
 
 
+class NeptuneMetricLogger:
+    """configs/logger/neptune.yaml analogue (reference configs/logger/neptune.yaml)."""
+
+    def __init__(self, project: Optional[str], name: Optional[str]):
+        import neptune
+
+        self._run = neptune.init_run(project=project, name=name)
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        for k, v in metrics.items():
+            self._run[k].append(float(v), step=step)
+
+    def finalize(self) -> None:
+        self._run.stop()
+
+
+class CometMetricLogger:
+    """configs/logger/comet.yaml analogue (reference configs/logger/comet.yaml)."""
+
+    def __init__(self, project_name: Optional[str], experiment_name: Optional[str]):
+        import comet_ml
+
+        self._exp = comet_ml.Experiment(project_name=project_name)
+        if experiment_name:
+            self._exp.set_name(experiment_name)
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        self._exp.log_metrics({k: float(v) for k, v in metrics.items()}, step=step)
+
+    def finalize(self) -> None:
+        self._exp.end()
+
+
+class AimMetricLogger:
+    """configs/logger/aim.yaml analogue (reference configs/logger/aim.yaml)."""
+
+    def __init__(self, repo: Optional[str], experiment: Optional[str]):
+        import aim
+
+        self._run = aim.Run(repo=repo, experiment=experiment)
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        for k, v in metrics.items():
+            self._run.track(float(v), name=k, step=step)
+
+    def finalize(self) -> None:
+        self._run.close()
+
+
 class MetricLoggerSet:
     """Fan-out to every configured backend; host 0 only."""
 
@@ -182,6 +231,22 @@ class MetricLoggerSet:
                             kwargs.get("tracking_uri"),
                         )
                     )
+                elif kind == "neptune":
+                    self.backends.append(
+                        NeptuneMetricLogger(kwargs.get("project"), kwargs.get("name"))
+                    )
+                elif kind == "comet":
+                    self.backends.append(
+                        CometMetricLogger(
+                            kwargs.get("project_name"), kwargs.get("experiment_name")
+                        )
+                    )
+                elif kind == "aim":
+                    self.backends.append(
+                        AimMetricLogger(kwargs.get("repo"), kwargs.get("experiment"))
+                    )
+                else:
+                    log.warning(f"unknown logger backend {kind!r}; skipping")
             except Exception as exc:  # degrade, never kill training over logging
                 log.warning(f"logger backend {kind!r} unavailable: {exc}")
 
