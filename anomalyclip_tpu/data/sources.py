@@ -55,8 +55,10 @@ def preprocess_frame(img, input_size: int = 224) -> np.ndarray:
     else:
         new_h, new_w = input_size, max(int(w * input_size / h), input_size)
     img = img.resize((new_w, new_h), Image.BICUBIC)
-    left = (new_w - input_size) // 2
-    top = (new_h - input_size) // 2
+    # torchvision CenterCrop placement: int(round(margin / 2)) (banker's), which
+    # differs from margin // 2 by one pixel when margin % 4 == 3
+    left = int(round((new_w - input_size) / 2.0))
+    top = int(round((new_h - input_size) / 2.0))
     img = img.crop((left, top, left + input_size, top + input_size))
     arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
     return (arr - CLIP_MEAN) / CLIP_STD
@@ -80,8 +82,8 @@ def preprocess_frame_cv2(path: str, input_size: int = 224) -> np.ndarray:
         new_h, new_w = input_size, max(int(w * input_size / h), input_size)
     interp = cv2.INTER_AREA if new_w < w else cv2.INTER_CUBIC
     img = cv2.resize(img, (new_w, new_h), interpolation=interp)
-    top = (new_h - input_size) // 2
-    left = (new_w - input_size) // 2
+    top = int(round((new_h - input_size) / 2.0))
+    left = int(round((new_w - input_size) / 2.0))
     img = img[top : top + input_size, left : left + input_size]
     arr = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
     return (arr - CLIP_MEAN) / CLIP_STD
@@ -93,6 +95,15 @@ class FrameSource:
     ``gather`` receives *frame indices within the record* (0-based, modulo-wrapped)
     and maps them to file ids by adding ``record.start_frame``
     (video_dataset.py:337-339).
+
+    ``ncrops=10`` enables 10-crop evaluation via GroupOverSample
+    (data/transforms.py; reference: gtransforms.py:105-138) — the multicrop
+    frames path the reference accepts as an argument but never wires up
+    (src/utils/augmentations.py:21 ignores ``ncrops``). Crops fold into the
+    device batch axis; eval/evaluator.py consumes the (ncrops, T, ...) layout
+    natively. ncrops>1 is an eval-path feature, matching the reference's
+    feature-path convention (its train forward squeezes the crop axis and
+    cannot carry more than one crop: src/models/components/anomaly_clip.py:178).
     """
 
     def __init__(
@@ -104,11 +115,13 @@ class FrameSource:
     ):
         self.input_size = input_size
         self.image_tmpl = image_tmpl
-        if ncrops != 1:
-            # every reference config uses ncrops=1; the frames path would need the
-            # (unused) TenCrop group transform to produce more (SURVEY.md §2.3)
-            raise NotImplementedError("FrameSource supports ncrops=1 only")
+        if ncrops not in (1, 10):
+            raise ValueError(f"FrameSource supports ncrops in (1, 10), got {ncrops}")
         self.ncrops = ncrops
+        if ncrops != 1:
+            from anomalyclip_tpu.data.transforms import get_augmentations
+
+            self._multicrop = get_augmentations(input_size, ncrops)
         self.fast_decode = fast_decode
 
     def load_video(self, record: VideoRecord) -> VideoRecord:
@@ -127,9 +140,30 @@ class FrameSource:
         with Image.open(path) as img:
             return preprocess_frame(img, self.input_size)
 
+    def _load_raw(self, record: VideoRecord, file_idx: int) -> np.ndarray:
+        """Undecorated uint8 RGB frame (multicrop path decodes once, then the
+        group pipeline scales/crops/normalizes the whole clip)."""
+        path = os.path.join(record.frames_dir, self.image_tmpl.format(file_idx))
+        if self.fast_decode:
+            import cv2
+
+            img = cv2.imread(path, cv2.IMREAD_COLOR)
+            if img is None:
+                raise FileNotFoundError(path)
+            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        from PIL import Image
+
+        with Image.open(path) as img:
+            return np.asarray(img.convert("RGB"))
+
     def gather(self, video: VideoRecord, frame_indices: np.ndarray) -> np.ndarray:
-        """-> (ncrops=1, len(frame_indices), H, W, 3)"""
-        frames = np.stack(
-            [self._load_one(video, int(i) + video.start_frame) for i in frame_indices]
+        """-> (ncrops, len(frame_indices), H, W, 3)"""
+        if self.ncrops == 1:
+            frames = np.stack(
+                [self._load_one(video, int(i) + video.start_frame) for i in frame_indices]
+            )
+            return frames[None]
+        clip = np.stack(
+            [self._load_raw(video, int(i) + video.start_frame) for i in frame_indices]
         )
-        return frames[None]
+        return self._multicrop(clip).astype(np.float32)
