@@ -180,13 +180,12 @@ def multi_head_attention(
     qkv = x @ attn["qkv_w"] + attn["qkv_b"]
 
     if _attention_impl() == "pallas":
-        from anomalyclip_tpu.ops.pallas.attention import fused_mha_bld, mha_eligible
+        from anomalyclip_tpu.ops.pallas.attention import fused_mha_qkv, mha_eligible
 
         if mha_eligible(b, l, d, num_heads, qkv.dtype.itemsize):
-            q = qkv[:, :, :d]
-            k = qkv[:, :, d : 2 * d]
-            v = qkv[:, :, 2 * d :]
-            out = fused_mha_bld(q, k, v, num_heads, causal)
+            # the packed (B, L, 3D) tensor feeds the kernel directly: q/k/v are
+            # split as static lane slices in VMEM, never as separate HBM buffers
+            out = fused_mha_qkv(qkv, num_heads, causal)
             return out @ attn["out_w"] + attn["out_b"]
 
     q, k, v = jnp.split(qkv, 3, axis=-1)

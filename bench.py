@@ -46,10 +46,11 @@ def main() -> None:
     # cast weights to bf16 once: MXU-native, halves HBM traffic
     params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
 
-    # batch sweep on v5e (fused attention, bf16): 32->3093, 64->3484, 128->3624,
-    # 192->3495, 256->3478, 512->3343 fps; 128 balances VMEM pressure vs MXU fill
-    batch = 128
-    inner_iters = 16
+    # batch sweep on v5e (packed-qkv fused attention, bf16): 64->3339, 128->3817,
+    # 256->3958, 384->3984, 512->3770 fps; 256 is the knee (384 is within noise
+    # for 1.5x the activation memory)
+    batch = 256
+    inner_iters = 12
 
     @jax.jit
     def encode_chain(p, frames):

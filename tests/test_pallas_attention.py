@@ -89,3 +89,41 @@ def test_fused_mha_bld_grad_matches_xla():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for gf, gr in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-4)
+
+@pytest.mark.parametrize("b,l,d,h", [(8, 197, 768, 12), (14, 77, 512, 8), (4, 32, 64, 4)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_mha_qkv_matches_reference_fp32(b, l, d, h, causal):
+    """The packed (B, L, 3D) kernel (zero q/k/v HBM splits) vs the reference."""
+    from anomalyclip_tpu.ops.pallas.attention import fused_mha_qkv, mha_eligible
+
+    assert mha_eligible(b, l, d, h, 4)
+    rng = np.random.default_rng(5)
+    qkv = jnp.asarray(rng.standard_normal((b, l, 3 * d)), jnp.float32)
+    want = np.asarray(
+        _reference_mha_bld(qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :], h, causal)
+    )
+    got = np.asarray(fused_mha_qkv(qkv, h, causal, True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_mha_qkv_grad_matches_xla():
+    from anomalyclip_tpu.ops.pallas.attention import fused_mha_qkv
+
+    rng = np.random.default_rng(6)
+    b, l, d, h = 2, 16, 32, 4
+    qkv = jnp.asarray(rng.standard_normal((b, l, 3 * d)), jnp.float32)
+
+    def loss_fused(qkv):
+        return jnp.sum(fused_mha_qkv(qkv, h, True, True) ** 2)
+
+    def loss_ref(qkv):
+        return jnp.sum(
+            _reference_mha_bld(
+                qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :], h, causal=True
+            )
+            ** 2
+        )
+
+    g_fused = jax.grad(loss_fused)(qkv)
+    g_ref = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
