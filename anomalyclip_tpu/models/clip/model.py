@@ -81,6 +81,30 @@ class CLIPConfig:
         return CLIPConfig(vision_patch_size=32)
 
     @staticmethod
+    def vit_l14() -> "CLIPConfig":
+        return CLIPConfig(
+            embed_dim=768,
+            vision_layers=24,
+            vision_width=1024,
+            vision_patch_size=14,
+            transformer_width=768,
+            transformer_heads=12,
+        )
+
+    @staticmethod
+    def vit_l14_336() -> "CLIPConfig":
+        return dataclasses.replace(CLIPConfig.vit_l14(), image_resolution=336)
+
+    @staticmethod
+    def rn50() -> "CLIPConfig":
+        return CLIPConfig(
+            embed_dim=1024,
+            vision_layers=(3, 4, 6, 3),
+            vision_width=64,
+            vision_patch_size=None,
+        )
+
+    @staticmethod
     def tiny(vocab_size: int = 49408) -> "CLIPConfig":
         """A small stand-in config for tests and the synthetic experiment."""
         return CLIPConfig(

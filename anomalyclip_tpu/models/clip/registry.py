@@ -24,7 +24,17 @@ from anomalyclip_tpu.models.clip.model import CLIPConfig, Params, init_clip_para
 _ARCH_CONFIGS = {
     "ViT-B/16": CLIPConfig.vit_b16,
     "ViT-B/32": CLIPConfig.vit_b32,
+    "ViT-L/14": CLIPConfig.vit_l14,
+    "ViT-L/14@336px": CLIPConfig.vit_l14_336,
+    "RN50": CLIPConfig.rn50,
 }
+
+
+def available_models() -> list:
+    """Architectures with a named config (the reference's clip.available_models,
+    clip.py:103-105; any other OpenAI arch still loads via checkpoint shape
+    inference in convert.config_from_state_dict)."""
+    return sorted(_ARCH_CONFIGS)
 
 
 def _cache_candidates(arch: str) -> list:

@@ -185,3 +185,21 @@ def test_fp16_checkpoint_roundtrip(synthetic_lightning_ckpt, tmp_path):
         trainable["prompt_ctx"],
         state["net.prompt_learner.ctx"].half().float().numpy(),
     )
+
+
+def test_arch_registry_matches_openai_shapes():
+    """Named configs cover the reference's _MODELS registry families
+    (reference: clip.py:31-41, 103-105); exotic archs load via shape
+    inference either way."""
+    from anomalyclip_tpu.models.clip.model import CLIPConfig
+    from anomalyclip_tpu.models.clip.registry import available_models
+
+    assert available_models() == ["RN50", "ViT-B/16", "ViT-B/32", "ViT-L/14", "ViT-L/14@336px"]
+    l14 = CLIPConfig.vit_l14()
+    assert (l14.vision_layers, l14.vision_width, l14.vision_patch_size) == (24, 1024, 14)
+    assert (l14.embed_dim, l14.transformer_width, l14.transformer_heads) == (768, 768, 12)
+    assert l14.vision_heads == 16
+    assert CLIPConfig.vit_l14_336().image_resolution == 336
+    assert CLIPConfig.vit_l14_336().grid_size == 24
+    rn = CLIPConfig.rn50()
+    assert rn.is_resnet and rn.vision_layers == (3, 4, 6, 3) and rn.vision_heads == 32
