@@ -74,3 +74,23 @@ def test_debug_bundles_override_experiment():
     assert cfg.trainer.accelerator == "cpu"
     assert cfg.get("callbacks") is None
     assert cfg.trainer.detect_anomaly is True
+
+
+def test_reference_trainer_group_names_compose():
+    """Every trainer group name a reference user might type resolves
+    (reference: configs/trainer/{default,cpu,gpu,mps,ddp,ddp_sim}.yaml)."""
+    from anomalyclip_tpu.config.compose import compose
+
+    expect = {
+        "ddp": ("tpu", "auto"),
+        "ddp_sim": ("cpu", 2),
+        "dp_sim": ("cpu", 2),
+        "gpu": ("auto", 1),
+        "mps": ("auto", 1),
+        "cpu": ("cpu", 1),
+        "tpu": ("tpu", "auto"),
+    }
+    for name, (acc, dev) in expect.items():
+        cfg = compose("configs", "train", ["experiment=synthetic", f"trainer={name}"])
+        assert cfg["trainer"]["accelerator"] == acc, name
+        assert cfg["trainer"]["devices"] == dev, name
