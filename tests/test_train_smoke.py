@@ -138,3 +138,25 @@ def test_bf16_compute_dtype(tmp_path):
     module = AnomalyCLIPTrainModule(cfg)
     metrics = module.fit()
     assert np.isfinite(metrics["auc_roc"])
+
+
+@pytest.mark.slow
+def test_training_converges_on_separable_synthetic(tmp_path):
+    """The full loop (MIL selection -> 7-term loss -> 4-group AdamW + warmup
+    cosine) must actually *learn*: the synthetic corpus is cleanly separable
+    (class-conditioned feature means vs 0.1-sigma noise, data/synthetic.py), so
+    a few epochs at a healthy LR should drive detection AUC near 1. Guards
+    against silent optimizer/gradient-flow regressions that finiteness-only
+    smoke tests cannot see (measured: AUC 0.9998, mAUC 1.0 by epoch 3)."""
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    cfg = synthetic_cfg(
+        tmp_path,
+        "trainer.max_epochs=4",
+        "model.solver.lr=2e-3",
+    )
+    module = AnomalyCLIPTrainModule(cfg)
+    metrics = module.fit()
+    assert metrics["auc_roc"] > 0.98, metrics
+    assert metrics["mean_mc_auroc"] > 0.99, metrics
+    assert metrics["auc_pr"] > 0.9, metrics
