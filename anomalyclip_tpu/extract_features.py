@@ -125,26 +125,42 @@ def main(argv: Optional[Iterable[str]] = None) -> int:
     pool = ThreadPoolExecutor(max_workers=args.workers)
 
     def load_video(rel: str, start: int, n: int) -> np.ndarray:
+        """-> (ncrops, T, H, W, 3); per-frame decode parallelized in the pool
+        for both crop modes."""
         rec = VideoRecord(
             rel_path=rel, start_frame=start, end_frame=start + n - 1, label=0,
             root=str(args.frames_root),
         )
         if args.ncrops == 1:
-            # parallel per-frame decode+preprocess
             frames = list(
                 pool.map(lambda i: source._load_one(rec, start + i), range(n))
             )
             return np.stack(frames)[None]  # (1, T, H, W, 3)
-        return source.gather(rec, np.arange(n))  # (10, T, h, w, 3)
+        raws = list(pool.map(lambda i: source._load_raw(rec, start + i), range(n)))
+        return source._multicrop(np.stack(raws)).astype(np.float32)  # (10, T, h, w, 3)
 
-    total_frames = 0
-    t0 = time.perf_counter()
+    todo = []
     for rel, start, n in videos:
         out_path = out_root / f"{rel}.npy"
         if out_path.exists() and not args.overwrite:
             print(f"skip {rel} (exists)", file=sys.stderr)
             continue
-        clip_arr = load_video(rel, start, n)  # (ncrops, T, H, W, 3)
+        todo.append((rel, start, n, out_path))
+
+    total_frames = 0
+    t0 = time.perf_counter()
+    # one-video lookahead: video i+1 decodes on the host pool while video i
+    # encodes on the device
+    lookahead = ThreadPoolExecutor(max_workers=1)
+    next_future = None
+    for vi, (rel, start, n, out_path) in enumerate(todo):
+        clip_arr = (next_future.result() if next_future is not None
+                    else load_video(rel, start, n))
+        if vi + 1 < len(todo):
+            nrel, nstart, nn, _ = todo[vi + 1]
+            next_future = lookahead.submit(load_video, nrel, nstart, nn)
+        else:
+            next_future = None
         ncrops, t = clip_arr.shape[:2]
         flat = clip_arr.reshape((-1,) + clip_arr.shape[2:])
         feats = encode_frames_chunked(encode_jit, params, flat, chunk=args.batch)
@@ -161,7 +177,8 @@ def main(argv: Optional[Iterable[str]] = None) -> int:
             file=sys.stderr,
         )
     pool.shutdown()
-    print(f"done: {len(videos)} videos, {total_frames} frames", file=sys.stderr)
+    lookahead.shutdown()
+    print(f"done: {len(todo)} videos, {total_frames} frames", file=sys.stderr)
     return 0
 
 

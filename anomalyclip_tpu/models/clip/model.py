@@ -425,6 +425,15 @@ def init_clip_params(key: jax.Array, cfg: CLIPConfig) -> Params:
     distributions — used for tests and the synthetic experiment; real runs load
     converted OpenAI weights."""
     kv, kt, k_emb, k_pos, k_cls, k_vpos, k_patch, k_proj, k_tp = jax.random.split(key, 9)
+    if cfg.is_resnet:
+        from anomalyclip_tpu.models.clip.resnet import init_resnet_params
+
+        visual = init_resnet_params(kv, cfg)
+        return {
+            "visual": visual,
+            "text": _init_text_params(cfg, kt, k_emb, k_pos, k_tp),
+            "logit_scale": jnp.asarray(np.log(1 / 0.07), dtype=jnp.float32),
+        }
     width = cfg.vision_width
     scale = width**-0.5
     n_patches = cfg.grid_size**2
@@ -442,8 +451,16 @@ def init_clip_params(key: jax.Array, cfg: CLIPConfig) -> Params:
         "ln_post": {"scale": jnp.ones((width,)), "bias": jnp.zeros((width,))},
         "proj": scale * jax.random.normal(k_proj, (width, cfg.embed_dim), dtype=jnp.float32),
     }
+    return {
+        "visual": visual,
+        "text": _init_text_params(cfg, kt, k_emb, k_pos, k_tp),
+        "logit_scale": jnp.asarray(np.log(1 / 0.07), dtype=jnp.float32),
+    }
+
+
+def _init_text_params(cfg: CLIPConfig, kt, k_emb, k_pos, k_tp) -> Params:
     tw = cfg.transformer_width
-    text = {
+    return {
         "token_embedding": 0.02
         * jax.random.normal(k_emb, (cfg.vocab_size, tw), dtype=jnp.float32),
         "positional_embedding": 0.01
@@ -452,9 +469,4 @@ def init_clip_params(key: jax.Array, cfg: CLIPConfig) -> Params:
         "ln_final": {"scale": jnp.ones((tw,)), "bias": jnp.zeros((tw,))},
         "text_projection": (tw**-0.5)
         * jax.random.normal(k_tp, (tw, cfg.embed_dim), dtype=jnp.float32),
-    }
-    return {
-        "visual": visual,
-        "text": text,
-        "logit_scale": jnp.asarray(np.log(1 / 0.07), dtype=jnp.float32),
     }

@@ -115,3 +115,74 @@ def resnet_encode_image(
             stride = 2 if (li > 0 and bi == 0) else 1
             x = _bottleneck(x, block, stride)
     return _attention_pool(x, visual["attnpool"], num_heads)
+
+
+def init_resnet_params(key: jax.Array, cfg) -> Params:
+    """Random ModifiedResNet visual params (shape-compatible with the converter's
+    pytree, convert.py:_resnet_visual_params) — tests/bench only; real runs load
+    converted RN checkpoints. BN stats init to eval-mode identity (mean 0, var 1);
+    weights follow the reference's attnpool std = embed_dim**-0.5
+    (model.py:336-356) and simple fan-in scaling for convs."""
+    width = cfg.vision_width
+    embed_dim = width * 32
+    keys = iter(jax.random.split(key, 256))
+
+    def conv(cin, cout, k):
+        std = (cin * k * k) ** -0.5
+        return std * jax.random.normal(next(keys), (k, k, cin, cout), dtype=jnp.float32)
+
+    def bn(c):
+        return {
+            "scale": jnp.ones((c,)),
+            "bias": jnp.zeros((c,)),
+            "mean": jnp.zeros((c,)),
+            "var": jnp.ones((c,)),
+        }
+
+    def bottleneck(cin, planes, downsample):
+        p = {
+            "conv1_w": conv(cin, planes, 1),
+            "bn1": bn(planes),
+            "conv2_w": conv(planes, planes, 3),
+            "bn2": bn(planes),
+            "conv3_w": conv(planes, planes * 4, 1),
+            "bn3": bn(planes * 4),
+        }
+        if downsample:
+            p["down_conv_w"] = conv(cin, planes * 4, 1)
+            p["down_bn"] = bn(planes * 4)
+        return p
+
+    visual: Params = {
+        "stem": {
+            "conv1_w": conv(3, width // 2, 3),
+            "bn1": bn(width // 2),
+            "conv2_w": conv(width // 2, width // 2, 3),
+            "bn2": bn(width // 2),
+            "conv3_w": conv(width // 2, width, 3),
+            "bn3": bn(width),
+        },
+    }
+    inplanes = width
+    for li, blocks in enumerate(cfg.vision_layers, start=1):
+        planes = width * (2 ** (li - 1))
+        layer: List[Params] = []
+        for bi in range(blocks):
+            layer.append(bottleneck(inplanes, planes, downsample=(bi == 0)))
+            inplanes = planes * 4
+        visual[f"layer{li}"] = layer
+    spacial = cfg.image_resolution // 32
+    pstd = embed_dim**-0.5
+    visual["attnpool"] = {
+        "positional_embedding": pstd
+        * jax.random.normal(next(keys), (spacial**2 + 1, embed_dim), dtype=jnp.float32),
+        "q_w": pstd * jax.random.normal(next(keys), (embed_dim, embed_dim)),
+        "q_b": jnp.zeros((embed_dim,)),
+        "k_w": pstd * jax.random.normal(next(keys), (embed_dim, embed_dim)),
+        "k_b": jnp.zeros((embed_dim,)),
+        "v_w": pstd * jax.random.normal(next(keys), (embed_dim, embed_dim)),
+        "v_b": jnp.zeros((embed_dim,)),
+        "c_w": pstd * jax.random.normal(next(keys), (embed_dim, cfg.embed_dim)),
+        "c_b": jnp.zeros((cfg.embed_dim,)),
+    }
+    return visual

@@ -199,3 +199,18 @@ def test_modified_resnet_parity():
         want = model.encode_image(torch.from_numpy(images)).numpy()
     got = np.asarray(encode_image(params, cfg, images.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_rn50_random_init_encodes():
+    """clip_init=random-full must work for ResNet archs too (regression: RN50 in
+    the registry crashed init_clip_params, which was ViT-only)."""
+    import jax.numpy as jnp
+
+    from anomalyclip_tpu.models.clip.model import encode_image
+    from anomalyclip_tpu.models.clip.registry import resolve_clip
+
+    params, cfg = resolve_clip("RN50", clip_init="random-full")
+    assert cfg.is_resnet
+    out = encode_image(params, cfg, jnp.zeros((2, 224, 224, 3), jnp.float32))
+    assert out.shape == (2, cfg.embed_dim)
+    assert bool(jnp.isfinite(out).all())

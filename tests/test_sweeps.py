@@ -74,3 +74,20 @@ def test_hparams_search_reports_best(tmp_path):
     assert "hparams_search best: trial" in result.stdout
     base = tmp_path / "logs" / "train" / "runs" / "synthetic"
     assert (base / "trial_0").is_dir() and (base / "trial_1").is_dir()
+
+
+@pytest.mark.slow
+def test_ddp_sim_alias_fans_out_virtual_devices(tmp_path):
+    """trainer=ddp_sim (the reference's group name) must get the same 2-virtual-
+    device CPU fan-out as trainer=dp_sim — regression for the alias bypassing
+    train.py's platform override (which matches argv before compose runs)."""
+    r = _run_train(
+        tmp_path,
+        "experiment=synthetic",
+        "trainer=ddp_sim",
+        "trainer.fast_dev_run=True",
+        f"paths.output_dir={tmp_path / 'run'}",
+    )
+    out = r.stdout + r.stderr
+    assert r.returncode == 0, out[-2000:]
+    assert "data mesh: OrderedDict({'data': 2})" in out, out[-2000:]

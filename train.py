@@ -24,10 +24,11 @@ def _apply_platform_overrides(argv) -> None:
     forces the host platform (the reference's configs/trainer/cpu.yaml analogue);
     trainer=dp_sim additionally fans the host platform out to N virtual devices
     (the ddp_spawn-on-CPU simulation, reference configs/trainer/ddp_sim.yaml)."""
-    wants_cpu = any(
-        a in ("trainer=cpu", "trainer=dp_sim", "trainer.accelerator=cpu") for a in argv
+    wants_sim = any(a in ("trainer=dp_sim", "trainer=ddp_sim") for a in argv)
+    wants_cpu = wants_sim or any(
+        a in ("trainer=cpu", "trainer.accelerator=cpu") for a in argv
     )
-    if "trainer=dp_sim" in argv:
+    if wants_sim:
         n = 2  # configs/trainer/dp_sim.yaml devices default
         for a in argv:
             if a.startswith("trainer.devices="):
@@ -43,7 +44,7 @@ def _apply_platform_overrides(argv) -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
-    if "trainer=dp_sim" in argv:
+    if wants_sim:
         import jax
 
         n = 2
