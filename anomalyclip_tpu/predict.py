@@ -1,0 +1,203 @@
+"""Inference on an arbitrary video: per-frame anomaly scores + class predictions.
+
+The reference ships train/eval only; running a trained AnomalyCLIP on a *new*
+video required third-party scripts (acknowledged at reference README.md:104-106).
+This CLI scores any input through the same jitted grid scorer the evaluator
+uses (eval/evaluator.py), so predictions are bit-identical to test-time scores:
+
+    python -m anomalyclip_tpu.predict model=anomaly_clip_ucfcrime data=ucfcrime \
+        ckpt_path=<orbax-dir | released.ckpt> input=<video.mp4 | frames_dir | feats.npy> \
+        [output=predictions.json] [ncentroid_path=...]
+
+Input forms:
+  * a video file       — decoded with OpenCV, CLIP-preprocessed per frame
+  * a frames directory — ``{:06d}.jpg`` files (``data.image_tmpl``)
+  * a ``.npy`` file    — pre-extracted CLIP features (single- or ``data.ncrops``-crop)
+
+The normality centroid resolves from ``ncentroid_path=``, else ``ncentroid.npy``
+next to the checkpoint's run dir, else it is recomputed from the configured
+training data (reference: anomaly_clip_module.py:406-445).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+VIDEO_EXTS = {".mp4", ".avi", ".mkv", ".mov", ".webm"}
+
+
+def _decode_video_file(path: Path, input_size: int) -> np.ndarray:
+    """Video file -> (T, H, W, 3) float32, CLIP preprocessing per frame."""
+    import cv2
+    from PIL import Image
+
+    from anomalyclip_tpu.data.sources import preprocess_frame
+
+    cap = cv2.VideoCapture(str(path))
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {path}")
+    frames = []
+    while True:
+        ok, bgr = cap.read()
+        if not ok:
+            break
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        frames.append(preprocess_frame(Image.fromarray(rgb), input_size))
+    cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {path}")
+    return np.stack(frames)
+
+
+def _load_input(path: Path, data_cfg) -> np.ndarray:
+    """-> (ncrops, T, ...) features or preprocessed frames, evaluator layout."""
+    from anomalyclip_tpu.data.records import VideoRecord
+    from anomalyclip_tpu.data.sources import FeatureSource, FrameSource
+
+    if path.suffix == ".npy":
+        feats = np.asarray(np.load(path), dtype=np.float32)
+        ncrops = int(data_cfg.get("ncrops", 1))
+        return feats.reshape(-1, ncrops, feats.shape[-1]).transpose(1, 0, 2)
+    if path.is_dir():
+        tmpl = data_cfg.get("image_tmpl", "{:06d}.jpg")
+        n = 0
+        # frame ids are 1-based ({:06d}.jpg from 000001, video_dataset.py:203-206)
+        while (path / tmpl.format(n + 1)).is_file():
+            n += 1
+        if n == 0:
+            raise FileNotFoundError(f"no {tmpl} frames under {path}")
+        src = FrameSource(
+            input_size=int(data_cfg.get("input_size", 224)),
+            image_tmpl=tmpl,
+            ncrops=int(data_cfg.get("ncrops", 1)),
+            fast_decode=bool(data_cfg.get("fast_decode", False)),
+        )
+        rec = VideoRecord(
+            rel_path=path.name, start_frame=1, end_frame=n, label=0,
+            root=str(path.parent),
+        )
+        return src.gather(rec, np.arange(n))
+    if path.suffix.lower() in VIDEO_EXTS:
+        return _decode_video_file(path, int(data_cfg.get("input_size", 224)))[None]
+    raise ValueError(f"unrecognized input: {path} (video file, frames dir, or .npy)")
+
+
+def _resolve_ncentroid(cfg, ckpt_path: str):
+    explicit = cfg.get("ncentroid_path")
+    if explicit:
+        return np.load(explicit).astype(np.float32)
+    # train runs save ncentroid.npy beside <run>/checkpoints/<name>
+    for cand in (
+        Path(ckpt_path).parent.parent / "ncentroid.npy",
+        Path(ckpt_path).parent / "ncentroid.npy",
+    ):
+        if cand.is_file():
+            return np.load(cand).astype(np.float32)
+    return None
+
+
+def main(argv=None) -> dict:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if any(a in ("trainer=cpu", "trainer.accelerator=cpu") for a in argv):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    os.environ.setdefault("PROJECT_ROOT", str(Path(__file__).resolve().parents[1]))
+
+    from anomalyclip_tpu.config import compose
+
+    cfg = compose(Path(__file__).resolve().parents[1] / "configs", "eval", argv)
+    if not cfg.get("data") or not cfg.get("model"):
+        raise SystemExit(
+            "predict needs model/data groups, e.g.\n"
+            "  python -m anomalyclip_tpu.predict model=anomaly_clip_ucfcrime "
+            "data=ucfcrime ckpt_path=... input=video.mp4"
+        )
+    ckpt_path = cfg.get("ckpt_path")
+    input_path = cfg.get("input")
+    if not ckpt_path or ckpt_path == "???" or not input_path:
+        raise SystemExit("predict requires ckpt_path=... and input=...")
+
+    import jax.numpy as jnp
+
+    from anomalyclip_tpu.data.dataset import TestItem
+    from anomalyclip_tpu.data.sampling import gather_frame_indices, test_start_indices
+    from anomalyclip_tpu.eval.evaluator import score_video
+    from anomalyclip_tpu.models.anomaly_clip import read_classnames
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    module = AnomalyCLIPTrainModule(cfg)
+    state = module.load_state(ckpt_path)
+
+    ncentroid = _resolve_ncentroid(cfg, ckpt_path)
+    if ncentroid is not None:
+        module.ncentroid = ncentroid
+    else:
+        module.compute_ncentroid()
+
+    data_cfg = cfg["data"]
+    raw = _load_input(Path(input_path), data_cfg)  # (ncrops, T_raw, ...)
+    t_raw = raw.shape[1]
+
+    # pad/cover to segment_size full grids, exactly like test-mode sampling
+    # (feature_dataset.py:252-259)
+    samp = module.datamodule.cfg
+    starts, segment_size = test_start_indices(
+        t_raw, samp.num_segments, samp.seg_length, samp.stride
+    )
+    indices = gather_frame_indices(starts, samp.seg_length, samp.stride, t_raw)
+    item = TestItem(
+        features=raw[:, indices],
+        frame_labels=np.zeros(t_raw, dtype=np.int64),
+        video_label=0,
+        segment_size=segment_size,
+        path=str(input_path),
+    )
+
+    scorer = module._scorer(state)
+    vs = score_video(item, scorer, module.model)
+
+    classnames = read_classnames(module.datamodule.cfg.labels_file)
+    normal_id = module.net_cfg.normal_id
+    abnormal_names = [c for i, c in enumerate(classnames) if i != normal_id]
+    top_col = vs.class_probs.argmax(axis=1)
+
+    result = {
+        "input": str(input_path),
+        "num_frames": int(t_raw),
+        "video_anomaly_score": float(vs.scores.max()),
+        "frame_scores": np.round(vs.scores, 6).tolist(),
+        "frame_top_class": [abnormal_names[int(c)] for c in top_col],
+        "frame_top_class_prob": np.round(
+            vs.class_probs.max(axis=1), 6
+        ).tolist(),
+        "classnames_abnormal": abnormal_names,
+        "class_probs_shape": list(vs.class_probs.shape),
+    }
+    out = cfg.get("output")
+    if out:
+        Path(out).parent.mkdir(parents=True, exist_ok=True)
+        Path(out).write_text(json.dumps(result))
+        print(f"wrote {out}", file=sys.stderr)
+    else:
+        print(json.dumps({k: v for k, v in result.items()
+                          if k not in ("frame_scores", "frame_top_class",
+                                       "frame_top_class_prob")}))
+    print(
+        f"{input_path}: {t_raw} frames, max score "
+        f"{result['video_anomaly_score']:.4f}, top class "
+        f"{abnormal_names[int(np.bincount(top_col).argmax())]}",
+        file=sys.stderr,
+    )
+    return result
+
+
+if __name__ == "__main__":
+    main()

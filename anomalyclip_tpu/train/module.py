@@ -562,6 +562,60 @@ class AnomalyCLIPTrainModule:
         )
         return metrics
 
+    def load_state(self, ckpt_path: str) -> TrainState:
+        """Restore a TrainState from an Orbax dir or a reference Lightning .ckpt
+        (converted in place; the model is rebuilt around the checkpoint's own
+        CLIP when its shapes differ). Shared by test() and the predict CLI."""
+        if str(ckpt_path).endswith(".ckpt") and Path(ckpt_path).is_file():
+            # released reference checkpoint (Lightning .ckpt): convert in place
+            # (reference contract: src/eval.py:73, README.md:72-76). The model is
+            # rebuilt around the checkpoint's own CLIP weights/shapes so the
+            # eval is self-contained regardless of the session's clip_init.
+            import dataclasses
+
+            from anomalyclip_tpu.convert_ckpt import (
+                convert_lightning_checkpoint,
+                converted_clip_config,
+                load_lightning_state_dict,
+            )
+
+            sd = load_lightning_state_dict(ckpt_path)  # one disk load, shared
+            frozen, trainable, bn_state = convert_lightning_checkpoint(sd)
+            ckpt_clip_cfg = converted_clip_config(sd)
+            n_ctx = int(np.asarray(trainable["prompt_ctx"]).shape[-2])
+            if ckpt_clip_cfg != self.model.clip_cfg or n_ctx != self.net_cfg.n_ctx:
+                self.net_cfg = dataclasses.replace(self.net_cfg, n_ctx=n_ctx)
+                self.model, _ = AnomalyCLIP.build(
+                    self.net_cfg, frozen["clip"], ckpt_clip_cfg
+                )
+                self._encode_frames_jit = None  # stale jit for the old model
+            self.frozen = jax.tree_util.tree_map(jnp.asarray, frozen)
+            return TrainState(
+                trainable=jax.tree_util.tree_map(jnp.asarray, trainable),
+                opt_state=None,
+                bn_state=BNState(
+                    jnp.asarray(bn_state.mean), jnp.asarray(bn_state.var)
+                ),
+                step=jnp.zeros((), jnp.int32),
+            )
+        restored = self.ckpt.restore(ckpt_path)
+        ctx = np.asarray(restored["trainable"]["prompt_ctx"])
+        if ctx.shape[-1] != self.model.prompt_spec.ctx_dim:
+            raise ValueError(
+                f"checkpoint prompt ctx dim {ctx.shape[-1]} does not match "
+                f"the session's CLIP text width {self.model.prompt_spec.ctx_dim} "
+                "— evaluate with the model config the checkpoint was trained "
+                "with (a converted Orbax dir carries only the trainable "
+                "params; pass the original .ckpt instead for a self-contained "
+                "eval that rebuilds the model around its own CLIP)"
+            )
+        return TrainState(
+            trainable=restored["trainable"],
+            opt_state=None,
+            bn_state=restored["bn_state"],
+            step=jnp.asarray(restored["step"], jnp.int32),
+        )
+
     def test(
         self,
         ckpt_path: Optional[str] = None,
@@ -572,56 +626,7 @@ class AnomalyCLIPTrainModule:
         if state is None:
             if ckpt_path is None:
                 raise ValueError("test() needs a checkpoint path or a TrainState")
-            if str(ckpt_path).endswith(".ckpt") and Path(ckpt_path).is_file():
-                # released reference checkpoint (Lightning .ckpt): convert in place
-                # (reference contract: src/eval.py:73, README.md:72-76). The model is
-                # rebuilt around the checkpoint's own CLIP weights/shapes so the
-                # eval is self-contained regardless of the session's clip_init.
-                import dataclasses
-
-                from anomalyclip_tpu.convert_ckpt import (
-                    convert_lightning_checkpoint,
-                    converted_clip_config,
-                    load_lightning_state_dict,
-                )
-
-                sd = load_lightning_state_dict(ckpt_path)  # one disk load, shared
-                frozen, trainable, bn_state = convert_lightning_checkpoint(sd)
-                ckpt_clip_cfg = converted_clip_config(sd)
-                n_ctx = int(np.asarray(trainable["prompt_ctx"]).shape[-2])
-                if ckpt_clip_cfg != self.model.clip_cfg or n_ctx != self.net_cfg.n_ctx:
-                    self.net_cfg = dataclasses.replace(self.net_cfg, n_ctx=n_ctx)
-                    self.model, _ = AnomalyCLIP.build(
-                        self.net_cfg, frozen["clip"], ckpt_clip_cfg
-                    )
-                    self._encode_frames_jit = None  # stale jit for the old model
-                self.frozen = jax.tree_util.tree_map(jnp.asarray, frozen)
-                state = TrainState(
-                    trainable=jax.tree_util.tree_map(jnp.asarray, trainable),
-                    opt_state=None,
-                    bn_state=BNState(
-                        jnp.asarray(bn_state.mean), jnp.asarray(bn_state.var)
-                    ),
-                    step=jnp.zeros((), jnp.int32),
-                )
-            else:
-                restored = self.ckpt.restore(ckpt_path)
-                ctx = np.asarray(restored["trainable"]["prompt_ctx"])
-                if ctx.shape[-1] != self.model.prompt_spec.ctx_dim:
-                    raise ValueError(
-                        f"checkpoint prompt ctx dim {ctx.shape[-1]} does not match "
-                        f"the session's CLIP text width {self.model.prompt_spec.ctx_dim} "
-                        "— evaluate with the model config the checkpoint was trained "
-                        "with (a converted Orbax dir carries only the trainable "
-                        "params; pass the original .ckpt instead for a self-contained "
-                        "eval that rebuilds the model around its own CLIP)"
-                    )
-                state = TrainState(
-                    trainable=restored["trainable"],
-                    opt_state=None,
-                    bn_state=restored["bn_state"],
-                    step=jnp.asarray(restored["step"], jnp.int32),
-                )
+            state = self.load_state(ckpt_path)
         if self.ncentroid is None:
             self.compute_ncentroid()
 
