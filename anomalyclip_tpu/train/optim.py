@@ -29,20 +29,26 @@ def warmup_cosine_schedule(
     total_epoch: int,
     steps_per_epoch: int,
     final_factor: float = 0.0,
+    warmup_power: float = 1.0,
+    warmup_lr: float = 0.0,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Per-epoch warmup-cosine factor applied at step granularity
     (scheduler.py:30-68: the reference updates once per epoch, so the factor is a
-    function of floor(step / steps_per_epoch))."""
+    function of floor(step / steps_per_epoch)). ``warmup_power``/``warmup_lr``
+    mirror WarmupLR's warmup_powers/warmup_lrs knobs (scheduler.py:22-38):
+    lr = (epoch/warmup)**power * (base - warmup_lr) + warmup_lr during warmup.
+    The reference's ``successor`` argument is accepted there but never stored
+    (scheduler.py:46-60) — dead, so it has no analogue here."""
 
     def schedule(step: jnp.ndarray) -> jnp.ndarray:
         epoch = jnp.asarray(step, jnp.float32) // max(steps_per_epoch, 1)
-        warmup_factor = epoch / max(warmup_epochs, 1)
+        warmup_progress = epoch / max(warmup_epochs, 1)
+        warmup_lr_now = warmup_progress**warmup_power * (base_lr - warmup_lr) + warmup_lr
         progress = (epoch - warmup_epochs) / max(total_epoch - warmup_epochs, 1)
         progress = jnp.minimum(progress, 1.0)
         cosine = (jnp.cos(math.pi * progress) + 1.0) / 2.0
         cosine_factor = cosine * (1.0 - final_factor) + final_factor
-        factor = jnp.where(epoch < warmup_epochs, warmup_factor, cosine_factor)
-        return base_lr * factor
+        return jnp.where(epoch < warmup_epochs, warmup_lr_now, base_lr * cosine_factor)
 
     return schedule
 
@@ -67,6 +73,9 @@ def base_lr_schedule(
         int(scheduler_cfg.get("warmup_epochs", 0)),
         int(scheduler_cfg.get("total_epoch", 50)),
         steps_per_epoch,
+        final_factor=float(scheduler_cfg.get("final_factor", 0.0)),
+        warmup_power=float(scheduler_cfg.get("warmup_powers", 1.0)),
+        warmup_lr=float(scheduler_cfg.get("warmup_lrs", 0.0)),
     )
 
 
@@ -92,7 +101,15 @@ def build_optimizer(
     def group_tx(group: str) -> optax.GradientTransformation:
         return optax.adamw(
             learning_rate=warmup_cosine_schedule(
-                base_lr * ratios[group], warmup, total, steps_per_epoch
+                base_lr * ratios[group],
+                warmup,
+                total,
+                steps_per_epoch,
+                final_factor=float(scheduler_cfg.get("final_factor", 0.0)),
+                warmup_power=float(scheduler_cfg.get("warmup_powers", 1.0)),
+                # warmup_lrs is absolute per group in the reference (to_tuple of
+                # one scalar, scheduler.py:24-27) — not scaled by the LR ratio
+                warmup_lr=float(scheduler_cfg.get("warmup_lrs", 0.0)),
             ),
             b1=0.9,
             b2=0.999,
