@@ -164,6 +164,20 @@ def main(argv=None) -> dict:
     scorer = module._scorer(state)
     vs = score_video(item, scorer, module.model)
 
+    if cfg.get("visualize") or data_cfg.get("visualize"):
+        # frames-dir or .npy-with-sibling-dir inputs render an annotated mp4
+        # (eval/visualizer.py resolves the frames dir from vs.path; video-file
+        # inputs have none and are skipped)
+        from anomalyclip_tpu.eval.visualizer import Visualizer
+
+        viz = Visualizer(
+            normal_id=module.net_cfg.normal_id,
+            labels_file=module.datamodule.cfg.labels_file,
+            image_tmpl=data_cfg.get("image_tmpl", "{:06d}.jpg"),
+            save_dir=cfg.get("paths", {}).get("output_dir", "."),
+        )
+        viz.process_video(vs)
+
     classnames = read_classnames(module.datamodule.cfg.labels_file)
     normal_id = module.net_cfg.normal_id
     abnormal_names = [c for i, c in enumerate(classnames) if i != normal_id]

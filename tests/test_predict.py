@@ -57,12 +57,16 @@ def test_predict_features_and_frames(tmp_path):
     assert all(0.0 <= s <= 1.0 for s in saved["frame_scores"])
     assert len(saved["classnames_abnormal"]) == cfg["data"]["num_classes"] - 1
 
-    # 2) frames directory (decode + CLIP preprocess path)
+    # 2) frames directory (decode + CLIP preprocess path) + mp4 visualization
     out2 = tmp_path / "pred_frames.json"
-    res2 = predict_main(common + [f"input={froot}/abnormal_000", f"output={out2}"])
+    res2 = predict_main(
+        common + [f"input={froot}/abnormal_000", f"output={out2}", "visualize=True"]
+    )
     saved2 = json.loads(out2.read_text())
     assert saved2["class_probs_shape"][0] == saved2["num_frames"]
     assert len(saved2["frame_scores"]) == saved2["num_frames"] > 0
+    vids = list((tmp_path / "pred_out" / "visualizations").glob("*.mp4"))
+    assert vids, "visualize=True on a frames-dir input must render an mp4"
 
     # 3) video file (cv2 decode path)
     cv2 = pytest.importorskip("cv2")
