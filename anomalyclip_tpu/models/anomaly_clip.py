@@ -206,10 +206,22 @@ class AnomalyCLIP:
             compute_dtype=self.cfg.dtype,
         )
 
+    # ViT-B/16 throughput peaks at ~256 frames/dispatch on v5e (bench.py sweep);
+    # a train step encodes thousands, so large batches are scanned in chunks at
+    # the sweet spot instead of one oversized dispatch
+    ENCODE_CHUNK = 256
+
     def encode_frames(self, frozen: Params, frames: jnp.ndarray) -> jnp.ndarray:
         """Frozen CLIP image encoding for the from-frames path
         (anomaly_clip.py:118-131, 157-169). frames: (N, H, W, 3) NHWC, CLIP-normalized."""
-        feats = encode_image(frozen["clip"], self.clip_cfg, frames, self.cfg.dtype)
+        n, chunk = frames.shape[0], self.ENCODE_CHUNK
+        if n > chunk and n % chunk == 0:
+            feats = jax.lax.map(
+                lambda c: encode_image(frozen["clip"], self.clip_cfg, c, self.cfg.dtype),
+                frames.reshape((n // chunk, chunk) + frames.shape[1:]),
+            ).reshape(n, -1)
+        else:
+            feats = encode_image(frozen["clip"], self.clip_cfg, frames, self.cfg.dtype)
         return jax.lax.stop_gradient(feats)
 
     def _temporal_input(
