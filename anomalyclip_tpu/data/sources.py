@@ -156,14 +156,25 @@ class FrameSource:
         with Image.open(path) as img:
             return np.asarray(img.convert("RGB"))
 
-    def gather(self, video: VideoRecord, frame_indices: np.ndarray) -> np.ndarray:
-        """-> (ncrops, len(frame_indices), H, W, 3)"""
+    def gather(self, video: VideoRecord, frame_indices: np.ndarray, pool=None) -> np.ndarray:
+        """-> (ncrops, len(frame_indices), H, W, 3). ``pool``: an optional
+        concurrent.futures Executor to parallelize per-frame decodes (cv2/PIL
+        release the GIL during decode, so threads scale with cores)."""
+        ids = [int(i) + video.start_frame for i in frame_indices]
+        run = pool.map if pool is not None else map
         if self.ncrops == 1:
-            frames = np.stack(
-                [self._load_one(video, int(i) + video.start_frame) for i in frame_indices]
-            )
-            return frames[None]
-        clip = np.stack(
-            [self._load_raw(video, int(i) + video.start_frame) for i in frame_indices]
-        )
+            return np.stack(list(run(lambda i: self._load_one(video, i), ids)))[None]
+        clip = np.stack(list(run(lambda i: self._load_raw(video, i), ids)))
         return self._multicrop(clip).astype(np.float32)
+
+
+def count_frames(frames_dir: str | Path, image_tmpl: str = "{:06d}.jpg") -> int:
+    """Consecutive 1-based frame files under a directory (the reference's frame
+    id convention, video_dataset.py:203-206)."""
+    from pathlib import Path
+
+    d = Path(frames_dir)
+    n = 0
+    while (d / image_tmpl.format(n + 1)).is_file():
+        n += 1
+    return n

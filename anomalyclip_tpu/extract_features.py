@@ -57,15 +57,12 @@ def _video_list(args) -> List[tuple]:
             for rec in parse_annotation_file(ann, str(frames_root)):
                 vids.append((rec.rel_path, rec.start_frame, rec.num_frames))
         return vids
-    vids = []
-    for rel in _discover_videos(frames_root, args.image_tmpl):
-        vdir = frames_root / rel
-        n = 0
-        while (vdir / args.image_tmpl.format(n + 1)).is_file():
-            n += 1
-        # reference frame ids are 1-based ({:06d}.jpg from 000001)
-        vids.append((rel, 1, n))
-    return vids
+    from anomalyclip_tpu.data.sources import count_frames
+
+    return [
+        (rel, 1, count_frames(frames_root / rel, args.image_tmpl))
+        for rel in _discover_videos(frames_root, args.image_tmpl)
+    ]
 
 
 def main(argv: Optional[Iterable[str]] = None) -> int:
@@ -125,19 +122,12 @@ def main(argv: Optional[Iterable[str]] = None) -> int:
     pool = ThreadPoolExecutor(max_workers=args.workers)
 
     def load_video(rel: str, start: int, n: int) -> np.ndarray:
-        """-> (ncrops, T, H, W, 3); per-frame decode parallelized in the pool
-        for both crop modes."""
+        """-> (ncrops, T, H, W, 3); per-frame decode parallelized in the pool."""
         rec = VideoRecord(
             rel_path=rel, start_frame=start, end_frame=start + n - 1, label=0,
             root=str(args.frames_root),
         )
-        if args.ncrops == 1:
-            frames = list(
-                pool.map(lambda i: source._load_one(rec, start + i), range(n))
-            )
-            return np.stack(frames)[None]  # (1, T, H, W, 3)
-        raws = list(pool.map(lambda i: source._load_raw(rec, start + i), range(n)))
-        return source._multicrop(np.stack(raws)).astype(np.float32)  # (10, T, h, w, 3)
+        return source.gather(rec, np.arange(n), pool=pool)
 
     todo = []
     for rel, start, n in videos:

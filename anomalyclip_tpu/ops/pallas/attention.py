@@ -50,32 +50,41 @@ NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 
+def _causal_mask(gb: int, l: int):
+    row = jax.lax.broadcasted_iota(jnp.int32, (gb, l, l), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (gb, l, l), 2)
+    return col <= row
+
+
+def _attend_head(q, k, v, scale: float, causal_mask, out_dtype):
+    """One head's softmax attention, scores/exp resident in VMEM registers:
+    fp32 MXU accumulation, row-max-subtracted fp32 softmax, normalizing divide
+    on the (gb, L, Dh) output instead of the (gb, L, L) weights."""
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    if causal_mask is not None:
+        s = jnp.where(causal_mask, s, NEG_INF)
+    m = jnp.max(s, axis=2, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=2, keepdims=True)
+    o = jax.lax.dot_general(
+        e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return (o / denom).astype(out_dtype)
+
+
 def _mha_bld_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float, causal: bool):
     gb, l, d = q_ref.shape
     dh = d // num_heads
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (gb, l, l), 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (gb, l, l), 2)
-        causal_mask = col <= row
+    mask = _causal_mask(gb, l) if causal else None
     for h in range(num_heads):
         sl = slice(h * dh, (h + 1) * dh)
-        q = q_ref[:, :, sl]
-        k = k_ref[:, :, sl]
-        v = v_ref[:, :, sl]
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        o_ref[:, :, sl] = _attend_head(
+            q_ref[:, :, sl], k_ref[:, :, sl], v_ref[:, :, sl], scale, mask, o_ref.dtype
         )
-        s = s * scale
-        if causal:
-            s = jnp.where(causal_mask, s, NEG_INF)
-        m = jnp.max(s, axis=2, keepdims=True)
-        e = jnp.exp(s - m)
-        denom = jnp.sum(e, axis=2, keepdims=True)
-        o = jax.lax.dot_general(
-            e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[:, :, sl] = (o / denom).astype(o_ref.dtype)
 
 
 def _pick_gb(b: int, l: int, d: int, itemsize: int) -> int:
@@ -172,28 +181,14 @@ def _mha_qkv_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float, causal: boo
     gb, l, d3 = qkv_ref.shape
     d = d3 // 3
     dh = d // num_heads
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (gb, l, l), 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (gb, l, l), 2)
-        causal_mask = col <= row
+    mask = _causal_mask(gb, l) if causal else None
     for h in range(num_heads):
         q = qkv_ref[:, :, h * dh : (h + 1) * dh]
         k = qkv_ref[:, :, d + h * dh : d + (h + 1) * dh]
         v = qkv_ref[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh]
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        o_ref[:, :, h * dh : (h + 1) * dh] = _attend_head(
+            q, k, v, scale, mask, o_ref.dtype
         )
-        s = s * scale
-        if causal:
-            s = jnp.where(causal_mask, s, NEG_INF)
-        m = jnp.max(s, axis=2, keepdims=True)
-        e = jnp.exp(s - m)
-        denom = jnp.sum(e, axis=2, keepdims=True)
-        o = jax.lax.dot_general(
-            e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[:, :, h * dh : (h + 1) * dh] = (o / denom).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "causal", "interpret"))
@@ -254,25 +249,9 @@ fused_mha_qkv.defvjp(_mha_qkv_fwd, _mha_qkv_bwd)
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool):
     q = q_ref[...]  # (G, L, Dh)
-    k = k_ref[...]
-    v = v_ref[...]
-    g, l, dh = q.shape
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-    s = s * scale
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (g, l, l), 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (g, l, l), 2)
-        s = jnp.where(col <= row, s, NEG_INF)
-    m = jnp.max(s, axis=2, keepdims=True)
-    e = jnp.exp(s - m)
-    denom = jnp.sum(e, axis=2, keepdims=True)
-    out = jax.lax.dot_general(
-        e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[...] = (out / denom).astype(o_ref.dtype)
+    g, l, _ = q.shape
+    mask = _causal_mask(g, l) if causal else None
+    o_ref[...] = _attend_head(q, k_ref[...], v_ref[...], scale, mask, o_ref.dtype)
 
 
 def _xla_attention(q, k, v, causal):

@@ -57,7 +57,7 @@ def _decode_video_file(path: Path, input_size: int) -> np.ndarray:
 def _load_input(path: Path, data_cfg) -> np.ndarray:
     """-> (ncrops, T, ...) features or preprocessed frames, evaluator layout."""
     from anomalyclip_tpu.data.records import VideoRecord
-    from anomalyclip_tpu.data.sources import FeatureSource, FrameSource
+    from anomalyclip_tpu.data.sources import FrameSource, count_frames
 
     if path.suffix == ".npy":
         feats = np.asarray(np.load(path), dtype=np.float32)
@@ -65,10 +65,7 @@ def _load_input(path: Path, data_cfg) -> np.ndarray:
         return feats.reshape(-1, ncrops, feats.shape[-1]).transpose(1, 0, 2)
     if path.is_dir():
         tmpl = data_cfg.get("image_tmpl", "{:06d}.jpg")
-        n = 0
-        # frame ids are 1-based ({:06d}.jpg from 000001, video_dataset.py:203-206)
-        while (path / tmpl.format(n + 1)).is_file():
-            n += 1
+        n = count_frames(path, tmpl)
         if n == 0:
             raise FileNotFoundError(f"no {tmpl} frames under {path}")
         src = FrameSource(

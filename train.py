@@ -28,11 +28,11 @@ def _apply_platform_overrides(argv) -> None:
     wants_cpu = wants_sim or any(
         a in ("trainer=cpu", "trainer.accelerator=cpu") for a in argv
     )
+    n = 2  # configs/trainer/dp_sim.yaml devices default
+    for a in argv:
+        if a.startswith("trainer.devices="):
+            n = int(a.split("=", 1)[1])
     if wants_sim:
-        n = 2  # configs/trainer/dp_sim.yaml devices default
-        for a in argv:
-            if a.startswith("trainer.devices="):
-                n = int(a.split("=", 1)[1])
         flags = os.environ.get("XLA_FLAGS", "")
         if "xla_force_host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
@@ -47,10 +47,6 @@ def _apply_platform_overrides(argv) -> None:
     if wants_sim:
         import jax
 
-        n = 2
-        for a in argv:
-            if a.startswith("trainer.devices="):
-                n = int(a.split("=", 1)[1])
         if len(jax.devices()) < n:
             # an accelerator plugin consumed the XLA_FLAGS parse before the
             # host-platform fan-out could apply (same situation as
