@@ -42,8 +42,9 @@ class FeatureSource:
         return video[frame_indices].transpose(1, 0, 2)
 
 
-def preprocess_frame(img, input_size: int = 224) -> np.ndarray:
-    """CLIP preprocessing for one PIL image -> (H, W, 3) float32 NHWC."""
+def spatial_frame(img, input_size: int = 224) -> np.ndarray:
+    """Resize + center-crop one PIL image -> (input_size, input_size, 3) uint8 RGB
+    (the spatial half of CLIP preprocessing; combine with normalize_frames)."""
     from PIL import Image
 
     w, h = img.size
@@ -60,8 +61,18 @@ def preprocess_frame(img, input_size: int = 224) -> np.ndarray:
     left = int(round((new_w - input_size) / 2.0))
     top = int(round((new_h - input_size) / 2.0))
     img = img.crop((left, top, left + input_size, top + input_size))
-    arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
-    return (arr - CLIP_MEAN) / CLIP_STD
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+def normalize_frames(arr: np.ndarray) -> np.ndarray:
+    """uint8 RGB frames (..., H, W, 3) -> float32 CLIP-normalized. Exactly the
+    arithmetic of preprocess_frame, so uint8-stored frames score bit-identically."""
+    return (arr.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+
+
+def preprocess_frame(img, input_size: int = 224) -> np.ndarray:
+    """CLIP preprocessing for one PIL image -> (H, W, 3) float32 NHWC."""
+    return normalize_frames(spatial_frame(img, input_size))
 
 
 def preprocess_frame_cv2(path: str, input_size: int = 224) -> np.ndarray:

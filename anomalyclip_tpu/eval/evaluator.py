@@ -52,10 +52,17 @@ def encode_frames_chunked(
     encode_jit, frozen, frames: np.ndarray, chunk: int = ENCODE_CHUNK
 ) -> np.ndarray:
     """Shared chunked CLIP frame encoding with one static chunk shape (one TPU
-    compile serves the ncentroid pass and the test path alike)."""
+    compile serves the ncentroid pass and the test path alike).
+
+    uint8 input is CLIP-normalized per chunk, so callers with long videos
+    (predict.py's decode path) can hold frames in RAM at 1/4 the float32 cost."""
+    from anomalyclip_tpu.data.sources import normalize_frames
+
     outs = []
     for i in range(0, len(frames), chunk):
         part = frames[i : i + chunk]
+        if part.dtype == np.uint8:
+            part = normalize_frames(part)
         # pad unconditionally: every call sees the same (chunk, H, W, 3) shape,
         # so the encoder compiles exactly once across all video lengths
         pad = chunk - len(part)

@@ -32,30 +32,51 @@ VIDEO_EXTS = {".mp4", ".avi", ".mkv", ".mov", ".webm"}
 
 
 def _decode_video_file(path: Path, input_size: int) -> np.ndarray:
-    """Video file -> (T, H, W, 3) float32, CLIP preprocessing per frame."""
+    """Video file -> (T, S, S, 3) uint8, CLIP spatial preprocessing per frame.
+
+    Frames stay uint8 — the encoder normalizes per chunk
+    (evaluator.encode_frames_chunked) with bit-identical arithmetic — so a long
+    video costs S*S*3 bytes/frame of host RAM, not 4x that in float32."""
     import cv2
     from PIL import Image
 
-    from anomalyclip_tpu.data.sources import preprocess_frame
+    from anomalyclip_tpu.data.sources import spatial_frame
 
     cap = cv2.VideoCapture(str(path))
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video: {path}")
-    frames = []
+    # frame-count metadata is an estimate; preallocate when present to avoid a
+    # second whole-video copy at stack time, spill to a list if it undercounts
+    hint = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    buf = np.empty((hint, input_size, input_size, 3), np.uint8) if hint > 0 else None
+    extra = []
+    t = 0
     while True:
         ok, bgr = cap.read()
         if not ok:
             break
-        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-        frames.append(preprocess_frame(Image.fromarray(rgb), input_size))
+        rgb = Image.fromarray(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+        frame = spatial_frame(rgb, input_size)
+        if buf is not None and t < len(buf):
+            buf[t] = frame
+        else:
+            extra.append(frame)
+        t += 1
     cap.release()
-    if not frames:
+    if t == 0:
         raise ValueError(f"no frames decoded from {path}")
-    return np.stack(frames)
+    if buf is None:
+        return np.stack(extra)
+    if extra:
+        return np.concatenate([buf, np.stack(extra)])
+    return buf[:t]
 
 
-def _load_input(path: Path, data_cfg) -> np.ndarray:
-    """-> (ncrops, T, ...) features or preprocessed frames, evaluator layout."""
+def _load_input(path: Path, data_cfg, input_size: int) -> np.ndarray:
+    """-> (ncrops, T, ...) features or preprocessed frames, evaluator layout.
+
+    ``input_size`` is the model's CLIP image resolution (not ``data.input_size``;
+    they agree in every real config, but the encoder's shape is the contract)."""
     from anomalyclip_tpu.data.records import VideoRecord
     from anomalyclip_tpu.data.sources import FrameSource, count_frames
 
@@ -69,7 +90,7 @@ def _load_input(path: Path, data_cfg) -> np.ndarray:
         if n == 0:
             raise FileNotFoundError(f"no {tmpl} frames under {path}")
         src = FrameSource(
-            input_size=int(data_cfg.get("input_size", 224)),
+            input_size=input_size,
             image_tmpl=tmpl,
             ncrops=int(data_cfg.get("ncrops", 1)),
             fast_decode=bool(data_cfg.get("fast_decode", False)),
@@ -78,9 +99,14 @@ def _load_input(path: Path, data_cfg) -> np.ndarray:
             rel_path=path.name, start_frame=1, end_frame=n, label=0,
             root=str(path.parent),
         )
-        return src.gather(rec, np.arange(n))
+        # decode on a pool — cv2/PIL release the GIL, so this scales with cores
+        # (same fan-out as extract_features.py)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, os.cpu_count() or 1)) as pool:
+            return src.gather(rec, np.arange(n), pool=pool)
     if path.suffix.lower() in VIDEO_EXTS:
-        return _decode_video_file(path, int(data_cfg.get("input_size", 224)))[None]
+        return _decode_video_file(path, input_size)[None]
     raise ValueError(f"unrecognized input: {path} (video file, frames dir, or .npy)")
 
 
@@ -140,7 +166,9 @@ def main(argv=None) -> dict:
         module.compute_ncentroid()
 
     data_cfg = cfg["data"]
-    raw = _load_input(Path(input_path), data_cfg)  # (ncrops, T_raw, ...)
+    raw = _load_input(
+        Path(input_path), data_cfg, int(module.model.clip_cfg.image_resolution)
+    )  # (ncrops, T_raw, ...)
     t_raw = raw.shape[1]
 
     # pad/cover to segment_size full grids, exactly like test-mode sampling
@@ -150,10 +178,13 @@ def main(argv=None) -> dict:
         t_raw, samp.num_segments, samp.seg_length, samp.stride
     )
     indices = gather_frame_indices(starts, samp.seg_length, samp.stride, t_raw)
+    # unlabeled input: fill ground-truth labels with normal_id so the visualizer
+    # doesn't shade the whole video as GT-anomalous (it shades labels != normal_id)
+    normal_fill = int(module.net_cfg.normal_id)
     item = TestItem(
         features=raw[:, indices],
-        frame_labels=np.zeros(t_raw, dtype=np.int64),
-        video_label=0,
+        frame_labels=np.full(t_raw, normal_fill, dtype=np.int64),
+        video_label=normal_fill,
         segment_size=segment_size,
         path=str(input_path),
     )
@@ -208,6 +239,13 @@ def main(argv=None) -> dict:
         file=sys.stderr,
     )
     return result
+
+
+def cli() -> int:
+    """Console-script entry: main() returns the predictions dict, which setuptools
+    wrappers pass to sys.exit() — translate to a clean exit status."""
+    main()
+    return 0
 
 
 if __name__ == "__main__":

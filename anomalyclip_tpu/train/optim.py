@@ -90,6 +90,11 @@ def build_optimizer(
     weight_decay = float(optimizer_cfg.get("weight_decay", 0.2))
     warmup = int(scheduler_cfg.get("warmup_epochs", 0))
     total = int(scheduler_cfg.get("total_epoch", 50))
+    final_factor = float(scheduler_cfg.get("final_factor", 0.0))
+    warmup_power = float(scheduler_cfg.get("warmup_powers", 1.0))
+    # warmup_lrs is absolute per group in the reference (to_tuple of one scalar,
+    # scheduler.py:24-27) — not scaled by the LR ratio
+    warmup_lr = float(scheduler_cfg.get("warmup_lrs", 0.0))
 
     ratios = {
         "prompt_learner": float(solver_cfg.get("prompt_learner_ratio", 1)),
@@ -105,11 +110,9 @@ def build_optimizer(
                 warmup,
                 total,
                 steps_per_epoch,
-                final_factor=float(scheduler_cfg.get("final_factor", 0.0)),
-                warmup_power=float(scheduler_cfg.get("warmup_powers", 1.0)),
-                # warmup_lrs is absolute per group in the reference (to_tuple of
-                # one scalar, scheduler.py:24-27) — not scaled by the LR ratio
-                warmup_lr=float(scheduler_cfg.get("warmup_lrs", 0.0)),
+                final_factor=final_factor,
+                warmup_power=warmup_power,
+                warmup_lr=warmup_lr,
             ),
             b1=0.9,
             b2=0.999,

@@ -52,5 +52,12 @@ def main(argv=None) -> dict:
     return module.test(ckpt_path=ckpt_path)
 
 
+def cli() -> int:
+    """Console-script entry: main() returns a metrics dict, which setuptools
+    wrappers pass to sys.exit() — translate to a clean exit status."""
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     main()

@@ -115,3 +115,49 @@ def test_prefetch_abandon_releases_worker():
     while threading.active_count() > started and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= started, "prefetch worker leaked"
+
+
+def test_uint8_frames_encode_identically_to_float32():
+    """predict.py stores decoded video frames as uint8 (1/4 the RAM);
+    encode_frames_chunked must normalize them to the exact float path."""
+    import jax.numpy as jnp
+
+    from anomalyclip_tpu.data.sources import normalize_frames
+    from anomalyclip_tpu.eval.evaluator import encode_frames_chunked
+
+    rng = np.random.default_rng(0)
+    frames_u8 = rng.integers(0, 256, size=(5, 8, 8, 3), dtype=np.uint8)
+
+    def encode(_, x):
+        # stand-in encoder: any deterministic function of the normalized input
+        return jnp.sum(x, axis=(1, 2)) * 2.0
+
+    out_u8 = encode_frames_chunked(encode, None, frames_u8, chunk=2)
+    out_f32 = encode_frames_chunked(encode, None, normalize_frames(frames_u8), chunk=2)
+    np.testing.assert_array_equal(out_u8, out_f32)
+
+
+def test_console_script_shims_return_zero():
+    """Setuptools wrappers call sys.exit(target()): the dict-returning main()s
+    must be wrapped by cli() shims that return a clean exit status."""
+    import tomllib
+
+    import anomalyclip_tpu.predict as predict_mod
+
+    scripts = tomllib.loads((REPO_ROOT / "pyproject.toml").read_text())["project"]["scripts"]
+    # every console script resolves to a callable whose return is a valid status
+    for name, target in scripts.items():
+        mod_name, func_name = target.split(":")
+        assert func_name in ("cli", "main"), (name, target)
+    assert scripts["anomalyclip-predict"].endswith(":cli")
+    assert scripts["anomalyclip-train"].endswith(":cli")
+    assert scripts["anomalyclip-eval"].endswith(":cli")
+    assert callable(predict_mod.cli)
+
+
+def test_devices_auto_outside_sim_does_not_parse():
+    """trainer.devices=auto is legal outside the dp_sim fan-out; the platform
+    override pre-pass must not int() it."""
+    import train as train_entry
+
+    train_entry._apply_platform_overrides(["trainer=tpu", "trainer.devices=auto"])

@@ -29,9 +29,12 @@ def _apply_platform_overrides(argv) -> None:
         a in ("trainer=cpu", "trainer.accelerator=cpu") for a in argv
     )
     n = 2  # configs/trainer/dp_sim.yaml devices default
-    for a in argv:
-        if a.startswith("trainer.devices="):
-            n = int(a.split("=", 1)[1])
+    if wants_sim:
+        # only the sim fan-out needs a device *count*; outside it, values like
+        # trainer.devices=auto are legal and must not be parsed here
+        for a in argv:
+            if a.startswith("trainer.devices="):
+                n = int(a.split("=", 1)[1])
     if wants_sim:
         flags = os.environ.get("XLA_FLAGS", "")
         if "xla_force_host_platform_device_count" not in flags:
@@ -299,6 +302,13 @@ def _single_run(argv) -> dict:
         metrics = dict(metrics)
         metrics["optimized_metric_value"] = value
     return metrics
+
+
+def cli() -> int:
+    """Console-script entry: main() returns a metrics dict, which setuptools
+    wrappers pass to sys.exit() — translate to a clean exit status."""
+    main()
+    return 0
 
 
 if __name__ == "__main__":
