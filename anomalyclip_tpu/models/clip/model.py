@@ -162,6 +162,21 @@ def _attention_impl() -> str:
     return impl
 
 
+@contextlib.contextmanager
+def attention_impl(impl: str):
+    """Scoped attention-core override. The selection is read at trace time, so
+    wrapping the *body* of a jitted function pins the impl across retraces — the
+    tensor-parallel path uses this to force "xla" (a pallas_call has no GSPMD
+    partitioning rule, so it would be replicated across the model axis)."""
+    global _ATTENTION_IMPL
+    prev = _ATTENTION_IMPL
+    set_attention_impl(impl)
+    try:
+        yield
+    finally:
+        _ATTENTION_IMPL = prev
+
+
 def attention_core(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, causal: bool = False
 ) -> jnp.ndarray:

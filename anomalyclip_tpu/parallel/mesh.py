@@ -9,9 +9,11 @@ no hand-written communication. The selector's global-batch BatchNorm statistics 
 out synchronized for free (sync_batchnorm: True equivalent), because jnp reductions
 over a sharded axis are global.
 
-The model is small (frozen ViT-B/16 + <10M trainable), so tensor/pipeline/sequence
-parallelism buys nothing (SURVEY.md §2.5); scaling is pure DP, and long videos are
-handled algorithmically by grid chunking (see eval/evaluator.py).
+The model is small (frozen ViT-B/16 + <10M trainable), so *training* scales as
+pure DP (SURVEY.md §2.5), and long videos are handled algorithmically by grid
+chunking (see eval/evaluator.py). For big-tower serving (ViT-L/14@336 and up),
+parallel/tp.py adds Megatron-style tensor parallelism over a 2-D (data, model)
+mesh on top of this module's data axis.
 """
 
 from __future__ import annotations

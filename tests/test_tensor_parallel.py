@@ -1,0 +1,103 @@
+"""Tensor-parallel CLIP (parallel/tp.py): Megatron-sharded towers over a 2-D
+(data, model) mesh must match the single-device forward exactly, and the block
+weights must actually be distributed (1/mp per device)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from anomalyclip_tpu.models.clip.model import (
+    CLIPConfig,
+    encode_image,
+    encode_text,
+    init_clip_params,
+)
+from anomalyclip_tpu.parallel.tp import (
+    MODEL_AXIS,
+    clip_tp_specs,
+    dp_mp_mesh,
+    shard_clip_params,
+    tp_encode_images,
+    tp_encode_text,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual mesh (conftest)"
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _images(cfg, batch=8):
+    rng = np.random.default_rng(0)
+    side = cfg.image_resolution
+    return jnp.asarray(rng.standard_normal((batch, side, side, 3)), jnp.float32)
+
+
+@pytest.mark.parametrize("dp,mp", [(2, 4), (4, 2), (1, 8)])
+def test_tp_encode_image_matches_single_device(tiny, dp, mp):
+    cfg, params = tiny
+    images = _images(cfg)
+    want = np.asarray(encode_image(params, cfg, images))
+
+    mesh = dp_mp_mesh(dp, mp)
+    placed = shard_clip_params(params, mesh)
+    got = np.asarray(tp_encode_images(cfg, mesh)(placed, images))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_tp_encode_text_matches_single_device(tiny):
+    cfg, params = tiny
+    rng = np.random.default_rng(1)
+    tokens = np.zeros((4, cfg.context_length), dtype=np.int32)
+    lengths = rng.integers(3, cfg.context_length, size=4)
+    for i, n in enumerate(lengths):
+        tokens[i, :n] = rng.integers(1, cfg.vocab_size - 1, size=n)
+        tokens[i, n - 1] = cfg.vocab_size - 1  # EOT = argmax position
+    tokens = jnp.asarray(tokens)
+    want = np.asarray(encode_text(params, cfg, tokens))
+
+    mesh = dp_mp_mesh(2, 4)
+    placed = shard_clip_params(params, mesh)
+    got = np.asarray(tp_encode_text(cfg, mesh)(placed, tokens))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_tp_specs_cover_param_tree(tiny):
+    """Spec tree must be congruent with the param tree (tree_map would throw
+    otherwise) and shard exactly the block matmul weights."""
+    cfg, params = tiny
+    specs = clip_tp_specs(params)
+    flat_p = jax.tree_util.tree_structure(params)
+    flat_s = jax.tree_util.tree_structure(specs)
+    assert flat_p == flat_s
+
+    for tower in ("visual", "text"):
+        blk = specs[tower]["blocks"]
+        assert blk["attn"]["qkv_w"] == (None, None, MODEL_AXIS)
+        assert blk["attn"]["out_w"] == (None, MODEL_AXIS, None)
+        assert blk["mlp"]["fc_w"] == (None, None, MODEL_AXIS)
+        assert blk["mlp"]["proj_w"] == (None, MODEL_AXIS, None)
+        assert specs[tower]["ln_post" if tower == "visual" else "ln_final"][
+            "scale"
+        ] == ()
+
+
+def test_tp_weights_are_distributed(tiny):
+    """Each device must hold 1/mp of a sharded block weight, not a replica."""
+    cfg, params = tiny
+    mesh = dp_mp_mesh(2, 4)
+    placed = shard_clip_params(params, mesh)
+    qkv = placed["visual"]["blocks"]["attn"]["qkv_w"]
+    shard_shapes = {s.data.shape for s in qkv.addressable_shards}
+    full = qkv.shape
+    assert shard_shapes == {(full[0], full[1], full[2] // 4)}
+    # replicated leaves stay whole
+    ln = placed["visual"]["ln_pre"]["scale"]
+    assert {s.data.shape for s in ln.addressable_shards} == {ln.shape}
