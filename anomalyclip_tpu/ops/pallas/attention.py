@@ -104,8 +104,15 @@ def _pick_gb(b: int, l: int, d: int, itemsize: int) -> int:
 
 
 def mha_eligible(b: int, l: int, d: int, num_heads: int, itemsize: int) -> bool:
-    """Whether fused_mha_bld can run this shape (static check)."""
-    return d % num_heads == 0 and _pick_gb(b, l, d, itemsize) > 0
+    """Whether fused_mha_bld can run this shape (static check).
+
+    The sequence cap is empirical: the Mosaic compile hard-crashes (not a clean
+    VMEM error) at L=512/577 with D=1024 even though the working-set estimate
+    fits, while every shape up to L=448 compiles and validates. All supported
+    CLIP towers sit well inside it (B/32: 50, text: 77, B/16: 197, L/14: 257);
+    ViT-L/14@336 (L=577) takes the XLA formulation instead.
+    """
+    return d % num_heads == 0 and l <= 448 and _pick_gb(b, l, d, itemsize) > 0
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "causal", "interpret"))
@@ -266,13 +273,36 @@ def _xla_attention(q, k, v, causal):
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
 
+def _pick_g(n: int, l: int, dh: int, itemsize: int) -> int:
+    """Largest (batch*head)-group whose working set fits VMEM with margin.
+
+    The 6MB budget is deliberately tighter than _pick_gb's: measured scoped-VMEM
+    usage runs ~1.6x this estimate (the L=577 ViT-L/14@336 shape OOMed at 18.5M
+    real vs ~21M estimated scratch with g=8), so 6MB estimated keeps the real
+    footprint under ~10MB of the 16MB budget.
+    """
+    for g in (8, 4, 2, 1):
+        if n % g:
+            continue
+        blocks = 4 * g * l * dh * itemsize * 2
+        scratch = 2 * g * l * l * 4
+        if blocks + scratch <= 6 * 1024 * 1024:
+            return g
+    return 0
+
+
 @functools.partial(jax.jit, static_argnames=("causal", "interpret"))
 def _fused_attention_impl(q, k, v, causal: bool, interpret: bool):
     b, h, l, dh = q.shape
     n = b * h
-    g = 8
-    while n % g != 0:
-        g //= 2
+    g = _pick_g(n, l, dh, q.dtype.itemsize)
+    if g < 4:
+        # shape outside the kernel's efficient envelope: g<4 means either VMEM
+        # wouldn't fit at all (g=0) or the grid degenerates into thousands of
+        # under-sized serialized programs (measured: L=577 at g=1 is orders of
+        # magnitude slower than XLA). The XLA formulation is the same math
+        # (softmax in fp32), just with HBM-resident scores.
+        return _xla_attention(q, k, v, causal)
     qf, kf, vf = (t.reshape(n, l, dh) for t in (q, k, v))
     kernel = functools.partial(_attn_kernel, scale=1.0 / math.sqrt(dh), causal=causal)
     out = pl.pallas_call(

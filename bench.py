@@ -29,6 +29,8 @@ BASELINE_FPS = 3000.0
 
 
 def main() -> None:
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -38,18 +40,35 @@ def main() -> None:
         init_clip_params,
     )
 
+    # The driver runs `python bench.py` bare — defaults are the ViT-B/16 headline.
+    # --arch/--batch measure other towers with the same carry-chain methodology.
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="ViT-B/16",
+                    choices=["ViT-B/16", "ViT-B/32", "ViT-L/14", "ViT-L/14@336px"])
+    ap.add_argument("--batch", type=int, default=0, help="0 = per-arch default")
+    args = ap.parse_args()
+
     dev = jax.devices()[0]
     print(f"# benchmarking on {dev.platform}:{dev.device_kind}", file=sys.stderr)
 
-    cfg = CLIPConfig.vit_b16()
+    arch_cfgs = {
+        "ViT-B/16": CLIPConfig.vit_b16,
+        "ViT-B/32": CLIPConfig.vit_b32,
+        "ViT-L/14": CLIPConfig.vit_l14,
+        "ViT-L/14@336px": CLIPConfig.vit_l14_336,
+    }
+    cfg = arch_cfgs[args.arch]()
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
     # cast weights to bf16 once: MXU-native, halves HBM traffic
     params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
 
-    # batch sweep on v5e (packed-qkv fused attention, bf16): 64->3339, 128->3817,
-    # 256->3958, 384->3984, 512->3770 fps; 256 is the knee (384 is within noise
-    # for 1.5x the activation memory)
-    batch = 256
+    # batch sweeps on v5e (bf16): B/16 64->3339, 128->3817, 256->3958, 384->3984,
+    # 512->3770 (knee 256; 384 within noise for 1.5x the activation memory);
+    # B/32 256->12772, 512->12908, 1024->12946 (flat, use 512); L/14 64->893,
+    # 128->825, 256->775 (knee 64); L/14@336 16/32->235, 64->217 (knee 32,
+    # XLA attention path: its L=577 exceeds the fused kernel's validated cap).
+    batch = args.batch or {"ViT-B/16": 256, "ViT-B/32": 512,
+                           "ViT-L/14": 64, "ViT-L/14@336px": 32}[args.arch]
     inner_iters = 12
 
     @jax.jit
@@ -66,7 +85,8 @@ def main() -> None:
         return jax.lax.fori_loop(0, inner_iters, body, jnp.zeros((), jnp.float32))
 
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)), jnp.bfloat16)
+    side = cfg.image_resolution
+    frames = jnp.asarray(rng.standard_normal((batch, side, side, 3)), jnp.bfloat16)
 
     float(encode_chain(params, frames))  # compile + warmup
 
@@ -85,7 +105,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "vit_b16_encode_throughput",
+                "metric": args.arch.lower()
+                .replace("-", "_").replace("/", "").replace("@", "_")
+                + "_encode_throughput",
                 "value": round(fps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),

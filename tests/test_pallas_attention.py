@@ -127,3 +127,41 @@ def test_fused_mha_qkv_grad_matches_xla():
     g_fused = jax.grad(loss_fused)(qkv)
     g_ref = jax.grad(loss_ref)(qkv)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_mha_eligibility_rejects_long_sequences():
+    """The Mosaic compile hard-crashes at L>=512 (ViT-L/14@336's L=577 hits it);
+    the static check must route those shapes to the XLA formulation."""
+    from anomalyclip_tpu.ops.pallas.attention import mha_eligible
+
+    assert mha_eligible(8, 448, 1024, 16, 2)  # largest validated on hardware
+    assert not mha_eligible(8, 512, 1024, 16, 2)
+    assert not mha_eligible(8, 577, 1024, 16, 2)
+
+
+def test_vit_l14_336_encodes_via_fallback():
+    """ViT-L/14@336 must encode with the auto impl (falls back past the fused
+    kernel's sequence cap) and match the forced-XLA result."""
+    import jax
+    import numpy as np
+
+    from anomalyclip_tpu.models.clip.model import (
+        CLIPConfig,
+        attention_impl,
+        encode_image,
+        init_clip_params,
+    )
+
+    cfg = CLIPConfig.vit_l14_336()
+    # 2 layers are enough to cross the attention path; full depth is miles slower
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, vision_layers=2, transformer_layers=2)
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((2, 336, 336, 3)).astype(np.float32)
+
+    out_auto = np.asarray(encode_image(params, cfg, images))
+    with attention_impl("xla"):
+        out_xla = np.asarray(encode_image(params, cfg, images))
+    np.testing.assert_allclose(out_auto, out_xla, rtol=1e-5, atol=1e-5)
