@@ -142,12 +142,14 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 _ATTENTION_IMPL = "auto"  # "auto" | "xla" | "pallas"
+_ATTENTION_IMPL_SCOPED: list = []  # attention_impl() stack; beats env + global
 
 
 def set_attention_impl(impl: str) -> None:
     """Select the attention core: "xla" (einsum path), "pallas" (fused VMEM
     kernel, see ops/pallas/attention.py), or "auto" (pallas on TPU backends).
-    Env var ANOMALYCLIP_ATTN_IMPL overrides."""
+    Env var ANOMALYCLIP_ATTN_IMPL overrides this global; a scoped
+    attention_impl() context overrides both."""
     global _ATTENTION_IMPL
     assert impl in ("auto", "xla", "pallas"), impl
     _ATTENTION_IMPL = impl
@@ -156,7 +158,10 @@ def set_attention_impl(impl: str) -> None:
 def _attention_impl() -> str:
     import os
 
-    impl = os.environ.get("ANOMALYCLIP_ATTN_IMPL", _ATTENTION_IMPL)
+    if _ATTENTION_IMPL_SCOPED:
+        impl = _ATTENTION_IMPL_SCOPED[-1]
+    else:
+        impl = os.environ.get("ANOMALYCLIP_ATTN_IMPL", _ATTENTION_IMPL)
     if impl == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "xla"
     return impl
@@ -164,17 +169,18 @@ def _attention_impl() -> str:
 
 @contextlib.contextmanager
 def attention_impl(impl: str):
-    """Scoped attention-core override. The selection is read at trace time, so
-    wrapping the *body* of a jitted function pins the impl across retraces — the
-    tensor-parallel path uses this to force "xla" (a pallas_call has no GSPMD
-    partitioning rule, so it would be replicated across the model axis)."""
-    global _ATTENTION_IMPL
-    prev = _ATTENTION_IMPL
-    set_attention_impl(impl)
+    """Scoped attention-core override — takes precedence over both the global
+    and the ANOMALYCLIP_ATTN_IMPL env var (callers use it as a *requirement*,
+    not a preference: the tensor-parallel path must keep pallas_call out of the
+    partitioned jit because it has no GSPMD partitioning rule). The selection is
+    read at trace time, so wrapping the *body* of a jitted function pins the
+    impl across retraces."""
+    assert impl in ("auto", "xla", "pallas"), impl
+    _ATTENTION_IMPL_SCOPED.append(impl)
     try:
         yield
     finally:
-        _ATTENTION_IMPL = prev
+        _ATTENTION_IMPL_SCOPED.pop()
 
 
 def attention_core(

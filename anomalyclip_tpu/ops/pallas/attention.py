@@ -87,20 +87,25 @@ def _mha_bld_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float,
         )
 
 
-def _pick_gb(b: int, l: int, d: int, itemsize: int) -> int:
-    """Largest batch-block whose working set stays inside the ~16MB VMEM budget.
-
-    Working set per program: 4 (gb, L, D) blocks double-buffered, plus the fp32
-    (gb, L, L) score/exp scratch for one head.
-    """
-    for gb in (8, 4, 2, 1):
-        if b % gb:
+def _pick_group(n: int, l: int, d: int, itemsize: int, budget: int) -> int:
+    """Largest grid group whose estimated working set fits ``budget`` bytes of
+    VMEM: 4 (g, L, D) blocks double-buffered plus the fp32 (g, L, L) score/exp
+    scratch for one head. The estimate undershoots real scoped-VMEM usage by
+    ~1.6x at long sequences (see mha_eligible / _pick_g callers), so budgets
+    carry that margin."""
+    for g in (8, 4, 2, 1):
+        if n % g:
             continue
-        blocks = 4 * gb * l * d * itemsize * 2
-        scratch = 2 * gb * l * l * 4
-        if blocks + scratch <= 12 * 1024 * 1024:
-            return gb
+        blocks = 4 * g * l * d * itemsize * 2
+        scratch = 2 * g * l * l * 4
+        if blocks + scratch <= budget:
+            return g
     return 0
+
+
+def _pick_gb(b: int, l: int, d: int, itemsize: int) -> int:
+    """Batch-block for the (B, L, D) kernels, ~12MB estimated budget."""
+    return _pick_group(b, l, d, itemsize, 12 * 1024 * 1024)
 
 
 def mha_eligible(b: int, l: int, d: int, num_heads: int, itemsize: int) -> bool:
@@ -274,21 +279,11 @@ def _xla_attention(q, k, v, causal):
 
 
 def _pick_g(n: int, l: int, dh: int, itemsize: int) -> int:
-    """Largest (batch*head)-group whose working set fits VMEM with margin.
-
-    The 6MB budget is deliberately tighter than _pick_gb's: measured scoped-VMEM
-    usage runs ~1.6x this estimate (the L=577 ViT-L/14@336 shape OOMed at 18.5M
-    real vs ~21M estimated scratch with g=8), so 6MB estimated keeps the real
-    footprint under ~10MB of the 16MB budget.
-    """
-    for g in (8, 4, 2, 1):
-        if n % g:
-            continue
-        blocks = 4 * g * l * dh * itemsize * 2
-        scratch = 2 * g * l * l * 4
-        if blocks + scratch <= 6 * 1024 * 1024:
-            return g
-    return 0
+    """(batch*head)-group for the per-head kernel. The 6MB budget is tighter
+    than _pick_gb's: measured scoped-VMEM runs ~1.6x the estimate (the L=577
+    ViT-L/14@336 shape OOMed at 18.5M real vs ~21M estimated scratch with g=8),
+    so 6MB estimated keeps the real footprint under ~10MB of the 16MB total."""
+    return _pick_group(n, l, dh, itemsize, 6 * 1024 * 1024)
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "interpret"))

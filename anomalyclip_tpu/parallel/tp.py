@@ -13,8 +13,15 @@ weights so one image batch is encoded cooperatively by ``mp`` chips —
 - everything small (LayerNorms, embeddings, the final projections) replicated.
 
 The specs are constraints, not a hand-written schedule: GSPMD propagates them
-through the ``lax.scan`` over stacked layers and inserts the two all-reduces per
-block that the Megatron decomposition requires. Useful when the tower outgrows
+through the ``lax.scan`` over stacked layers and inserts the collectives. The
+schedule is near-Megatron rather than exact: the qkv weight is stored packed as
+``(layers, W, [q|k|v])``, so when ``mp`` does not divide the three sections
+head-aligned, the ``jnp.split``/head reshape cuts across shard boundaries and
+GSPMD adds resharding permutes on top of the two Megatron all-reduces (measured
+on the compiled 2x4 scan body: 3 all-reduces + 7 collective-permutes per block,
+moving activation-sized chunks — same order as the all-reduces themselves).
+Parity is exact; the extra ICI traffic is the price of keeping one packed qkv
+layout shared with the single-chip fast path. Useful when the tower outgrows
 one chip's HBM or latency budget (ViT-L/14@336, or batch spikes in serving);
 for ViT-B/16 training, pure DP remains the measured optimum (docs/performance.md).
 
@@ -97,44 +104,38 @@ def shard_clip_params(params: Any, mesh: Mesh) -> Any:
     )
 
 
-def tp_encode_images(cfg, mesh: Mesh, compute_dtype="float32") -> Callable:
-    """-> jitted ``(params, images) -> (B, embed_dim)`` over the 2-D mesh: batch
-    sharded on the data axis, weights on the model axis. Pass params already
-    placed via shard_clip_params (donating re-placement every call would defeat
-    the point)."""
+def _tp_encode(encode, cfg, mesh: Mesh, compute_dtype) -> Callable:
+    """jit ``(params, batch_input) -> (B, embed_dim)`` over the 2-D mesh: batch
+    sharded on the data axis; params inherit their placement (in_shardings=None),
+    so pass them already placed via shard_clip_params — donating re-placement
+    every call would defeat the point. attention_impl("xla") is a requirement,
+    not a preference: it outranks the ANOMALYCLIP_ATTN_IMPL env var, keeping
+    pallas_call (no GSPMD partitioning rule) out of the partitioned jit."""
     import jax.numpy as jnp
 
-    from anomalyclip_tpu.models.clip.model import attention_impl, encode_image
+    from anomalyclip_tpu.models.clip.model import attention_impl
 
     dtype = jnp.dtype(compute_dtype)
 
-    def fn(params, images):
+    def fn(params, batch_input):
         with attention_impl("xla"):
-            return encode_image(params, cfg, images, dtype)
+            return encode(params, cfg, batch_input, dtype)
 
-    batch_in = NamedSharding(mesh, P(DATA_AXIS))
-    batch_out = NamedSharding(mesh, P(DATA_AXIS))
-    param_specs = None  # resolved from the placed params at call time by jit
-    return jax.jit(
-        fn,
-        in_shardings=(param_specs, batch_in),
-        out_shardings=batch_out,
-    )
+    batch = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(fn, in_shardings=(None, batch), out_shardings=batch)
+
+
+def tp_encode_images(cfg, mesh: Mesh, compute_dtype="float32") -> Callable:
+    """-> jitted ``(params, images) -> (B, embed_dim)`` with the visual tower
+    TP-sharded."""
+    from anomalyclip_tpu.models.clip.model import encode_image
+
+    return _tp_encode(encode_image, cfg, mesh, compute_dtype)
 
 
 def tp_encode_text(cfg, mesh: Mesh, compute_dtype="float32") -> Callable:
     """-> jitted ``(params, tokens) -> (B, embed_dim)`` with the text tower
-    TP-sharded the same way."""
-    import jax.numpy as jnp
+    TP-sharded."""
+    from anomalyclip_tpu.models.clip.model import encode_text
 
-    from anomalyclip_tpu.models.clip.model import attention_impl, encode_text
-
-    dtype = jnp.dtype(compute_dtype)
-
-    def fn(params, tokens):
-        with attention_impl("xla"):
-            return encode_text(params, cfg, tokens, dtype)
-
-    batch_in = NamedSharding(mesh, P(DATA_AXIS))
-    batch_out = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.jit(fn, in_shardings=(None, batch_in), out_shardings=batch_out)
+    return _tp_encode(encode_text, cfg, mesh, compute_dtype)

@@ -110,7 +110,10 @@ def main() -> None:
                 + "_encode_throughput",
                 "value": round(fps, 1),
                 "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                # the 3,000 fps baseline is a ViT-B/16 target; other archs have
+                # no defined baseline, so the ratio would be meaningless there
+                "vs_baseline": round(fps / BASELINE_FPS, 3)
+                if args.arch == "ViT-B/16" else None,
             }
         )
     )

@@ -188,7 +188,8 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         env=env1, cwd=repo_root, capture_output=True, text=True, timeout=420,
     )
     assert r.returncode == 0, r.stderr[-2000:]
-    single_loss = float(r.stdout.strip().rsplit("loss=", 1)[1])
+    # dryrun output: "... ok, loss=<x>, tp(...) encode parity ok"
+    single_loss = float(r.stdout.rsplit("loss=", 1)[1].split(",")[0])
 
     port = _free_port()
     procs = []

@@ -139,29 +139,32 @@ def test_mha_eligibility_rejects_long_sequences():
     assert not mha_eligible(8, 577, 1024, 16, 2)
 
 
-def test_vit_l14_336_encodes_via_fallback():
-    """ViT-L/14@336 must encode with the auto impl (falls back past the fused
-    kernel's sequence cap) and match the forced-XLA result."""
+def test_per_head_kernel_routes_degenerate_groups_to_xla(monkeypatch):
+    """At L=577 (ViT-L/14@336) _pick_g degenerates to g<4; _fused_attention_impl
+    must route to the XLA formulation instead of serializing a tiny-group grid
+    (or OOMing the Mosaic compile, as L>=512 does on hardware)."""
     import jax
     import numpy as np
 
-    from anomalyclip_tpu.models.clip.model import (
-        CLIPConfig,
-        attention_impl,
-        encode_image,
-        init_clip_params,
-    )
+    from anomalyclip_tpu.ops.pallas import attention as A
 
-    cfg = CLIPConfig.vit_l14_336()
-    # 2 layers are enough to cross the attention path; full depth is miles slower
-    import dataclasses
+    assert A._pick_g(8 * 16, 577, 64, 2) < 4
+    assert A._pick_g(8 * 16, 197, 64, 2) >= 4  # ViT-B/16 stays on the kernel
 
-    cfg = dataclasses.replace(cfg, vision_layers=2, transformer_layers=2)
-    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    calls = []
+    real = A._xla_attention
+
+    def recording_xla(q, k, v, causal):
+        calls.append(q.shape)
+        return real(q, k, v, causal)
+
+    monkeypatch.setattr(A, "_xla_attention", recording_xla)
     rng = np.random.default_rng(0)
-    images = rng.standard_normal((2, 336, 336, 3)).astype(np.float32)
-
-    out_auto = np.asarray(encode_image(params, cfg, images))
-    with attention_impl("xla"):
-        out_xla = np.asarray(encode_image(params, cfg, images))
-    np.testing.assert_allclose(out_auto, out_xla, rtol=1e-5, atol=1e-5)
+    q, k, v = (
+        jax.numpy.asarray(rng.standard_normal((1, 2, 577, 8)), jax.numpy.float32)
+        for _ in range(3)
+    )
+    out = A.fused_attention(q, k, v, False, True)  # interpret=True: CPU-safe
+    np.testing.assert_allclose(np.asarray(out), np.asarray(real(q, k, v, False)),
+                               rtol=1e-5, atol=1e-5)
+    assert calls, "degenerate-group shape did not take the XLA fallback"
