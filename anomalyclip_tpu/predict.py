@@ -124,6 +124,51 @@ def _resolve_ncentroid(cfg, ckpt_path: str):
     return None
 
 
+def score_input(module, state, raw: np.ndarray, path: str):
+    """Score one loaded input (ncrops, T_raw, ...) through the evaluator's jitted
+    scorer -> (VideoScores, predictions dict). Shared by predict and serve.
+
+    Covers the test-mode sampling (pad/cover to segment_size full grids, exactly
+    like feature_dataset.py:252-259) and fills ground-truth labels with
+    normal_id — unlabeled input must not render as GT-anomalous (the visualizer
+    shades labels != normal_id)."""
+    from anomalyclip_tpu.data.dataset import TestItem
+    from anomalyclip_tpu.data.sampling import gather_frame_indices, test_start_indices
+    from anomalyclip_tpu.eval.evaluator import score_video
+    from anomalyclip_tpu.models.anomaly_clip import read_classnames
+
+    t_raw = raw.shape[1]
+    samp = module.datamodule.cfg
+    starts, segment_size = test_start_indices(
+        t_raw, samp.num_segments, samp.seg_length, samp.stride
+    )
+    indices = gather_frame_indices(starts, samp.seg_length, samp.stride, t_raw)
+    normal_fill = int(module.net_cfg.normal_id)
+    item = TestItem(
+        features=raw[:, indices],
+        frame_labels=np.full(t_raw, normal_fill, dtype=np.int64),
+        video_label=normal_fill,
+        segment_size=segment_size,
+        path=path,
+    )
+    vs = score_video(item, module._scorer(state), module.model)
+
+    classnames = read_classnames(module.datamodule.cfg.labels_file)
+    abnormal_names = [c for i, c in enumerate(classnames) if i != normal_fill]
+    top_col = vs.class_probs.argmax(axis=1)
+    result = {
+        "input": path,
+        "num_frames": int(t_raw),
+        "video_anomaly_score": float(vs.scores.max()),
+        "frame_scores": np.round(vs.scores, 6).tolist(),
+        "frame_top_class": [abnormal_names[int(c)] for c in top_col],
+        "frame_top_class_prob": np.round(vs.class_probs.max(axis=1), 6).tolist(),
+        "classnames_abnormal": abnormal_names,
+        "class_probs_shape": list(vs.class_probs.shape),
+    }
+    return vs, result
+
+
 def main(argv=None) -> dict:
     argv = list(sys.argv[1:] if argv is None else argv)
     if any(a in ("trainer=cpu", "trainer.accelerator=cpu") for a in argv):
@@ -148,12 +193,6 @@ def main(argv=None) -> dict:
     if not ckpt_path or ckpt_path == "???" or not input_path:
         raise SystemExit("predict requires ckpt_path=... and input=...")
 
-    import jax.numpy as jnp
-
-    from anomalyclip_tpu.data.dataset import TestItem
-    from anomalyclip_tpu.data.sampling import gather_frame_indices, test_start_indices
-    from anomalyclip_tpu.eval.evaluator import score_video
-    from anomalyclip_tpu.models.anomaly_clip import read_classnames
     from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
 
     module = AnomalyCLIPTrainModule(cfg)
@@ -170,27 +209,7 @@ def main(argv=None) -> dict:
         Path(input_path), data_cfg, int(module.model.clip_cfg.image_resolution)
     )  # (ncrops, T_raw, ...)
     t_raw = raw.shape[1]
-
-    # pad/cover to segment_size full grids, exactly like test-mode sampling
-    # (feature_dataset.py:252-259)
-    samp = module.datamodule.cfg
-    starts, segment_size = test_start_indices(
-        t_raw, samp.num_segments, samp.seg_length, samp.stride
-    )
-    indices = gather_frame_indices(starts, samp.seg_length, samp.stride, t_raw)
-    # unlabeled input: fill ground-truth labels with normal_id so the visualizer
-    # doesn't shade the whole video as GT-anomalous (it shades labels != normal_id)
-    normal_fill = int(module.net_cfg.normal_id)
-    item = TestItem(
-        features=raw[:, indices],
-        frame_labels=np.full(t_raw, normal_fill, dtype=np.int64),
-        video_label=normal_fill,
-        segment_size=segment_size,
-        path=str(input_path),
-    )
-
-    scorer = module._scorer(state)
-    vs = score_video(item, scorer, module.model)
+    vs, result = score_input(module, state, raw, str(input_path))
 
     if cfg.get("visualize") or data_cfg.get("visualize"):
         # frames-dir or .npy-with-sibling-dir inputs render an annotated mp4
@@ -206,23 +225,6 @@ def main(argv=None) -> dict:
         )
         viz.process_video(vs)
 
-    classnames = read_classnames(module.datamodule.cfg.labels_file)
-    normal_id = module.net_cfg.normal_id
-    abnormal_names = [c for i, c in enumerate(classnames) if i != normal_id]
-    top_col = vs.class_probs.argmax(axis=1)
-
-    result = {
-        "input": str(input_path),
-        "num_frames": int(t_raw),
-        "video_anomaly_score": float(vs.scores.max()),
-        "frame_scores": np.round(vs.scores, 6).tolist(),
-        "frame_top_class": [abnormal_names[int(c)] for c in top_col],
-        "frame_top_class_prob": np.round(
-            vs.class_probs.max(axis=1), 6
-        ).tolist(),
-        "classnames_abnormal": abnormal_names,
-        "class_probs_shape": list(vs.class_probs.shape),
-    }
     out = cfg.get("output")
     if out:
         Path(out).parent.mkdir(parents=True, exist_ok=True)
@@ -232,10 +234,11 @@ def main(argv=None) -> dict:
         print(json.dumps({k: v for k, v in result.items()
                           if k not in ("frame_scores", "frame_top_class",
                                        "frame_top_class_prob")}))
+    top_col = vs.class_probs.argmax(axis=1)
     print(
         f"{input_path}: {t_raw} frames, max score "
         f"{result['video_anomaly_score']:.4f}, top class "
-        f"{abnormal_names[int(np.bincount(top_col).argmax())]}",
+        f"{result['classnames_abnormal'][int(np.bincount(top_col).argmax())]}",
         file=sys.stderr,
     )
     return result

@@ -1,0 +1,156 @@
+"""Persistent scoring service: stream videos through the warm jitted scorer.
+
+The reference ships batch train/eval only; production deployments need a
+long-lived process that amortizes model load + compilation across many inputs.
+This CLI keeps the checkpoint, text features, and every compiled executable
+warm, and overlaps host decode of the next input with device scoring of the
+current one (the decode is host-bound, the scoring device-bound, so the
+pipeline hides whichever is cheaper):
+
+    # score paths fed line-by-line on stdin (EOF ends the service)
+    ls videos/*.mp4 | python -m anomalyclip_tpu.serve model=anomaly_clip_ucfcrime \
+        data=ucfcrime ckpt_path=<ckpt> output_dir=scores/
+
+    # watch a directory, scoring new videos as they appear
+    python -m anomalyclip_tpu.serve ... watch=incoming/ poll_interval=2
+
+Inputs are anything predict.py accepts (video file / frames dir / feature
+.npy); one ``<stem>.json`` per input lands in ``output_dir`` with the same
+schema as predict.py's output. Scores are bit-identical to eval.py's: the same
+GridScorer executables serve both (eval/evaluator.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+from anomalyclip_tpu.predict import (
+    VIDEO_EXTS,
+    _load_input,
+    _resolve_ncentroid,
+    score_input,
+)
+
+
+def _iter_stdin():
+    for line in sys.stdin:
+        line = line.strip()
+        if line:
+            yield Path(line)
+
+
+def _iter_watch(root: Path, poll_interval: float, stop_after: float):
+    """Yield new scoreable files under ``root`` as they appear (mtime-settled).
+
+    ``stop_after`` bounds the service lifetime in seconds (0 = forever) so tests
+    and batch jobs terminate.
+    """
+    seen = set()
+    deadline = time.time() + stop_after if stop_after else None
+    while deadline is None or time.time() < deadline:
+        for p in sorted(root.iterdir()):
+            if p in seen or not (
+                p.suffix == ".npy" or p.suffix.lower() in VIDEO_EXTS or p.is_dir()
+            ):
+                continue
+            # skip files still being written: mtime must be settled one poll
+            if p.is_file() and time.time() - p.stat().st_mtime < poll_interval:
+                continue
+            seen.add(p)
+            yield p
+        time.sleep(poll_interval)
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if any(a in ("trainer=cpu", "trainer.accelerator=cpu") for a in argv):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    os.environ.setdefault("PROJECT_ROOT", str(Path(__file__).resolve().parents[1]))
+
+    from anomalyclip_tpu.config import compose
+
+    cfg = compose(Path(__file__).resolve().parents[1] / "configs", "eval", argv)
+    ckpt_path = cfg.get("ckpt_path")
+    if not cfg.get("data") or not cfg.get("model") or not ckpt_path or ckpt_path == "???":
+        raise SystemExit(
+            "serve needs model=... data=... ckpt_path=... "
+            "[watch=<dir> | paths on stdin] [output_dir=...]"
+        )
+
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    module = AnomalyCLIPTrainModule(cfg)
+    state = module.load_state(ckpt_path)
+    ncentroid = _resolve_ncentroid(cfg, ckpt_path)
+    if ncentroid is not None:
+        module.ncentroid = ncentroid
+    else:
+        module.compute_ncentroid()
+
+    data_cfg = cfg["data"]
+    out_dir = Path(cfg.get("output_dir") or "predictions")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    input_size = int(module.model.clip_cfg.image_resolution)
+
+    watch = cfg.get("watch")
+    paths = (
+        _iter_watch(Path(watch), float(cfg.get("poll_interval", 2.0)),
+                    float(cfg.get("stop_after", 0)))
+        if watch
+        else _iter_stdin()
+    )
+
+    n_done = 0
+    t0 = time.time()
+    # one decode slot prefetched ahead of the device: submit(load next) while
+    # the current input scores
+    with ThreadPoolExecutor(max_workers=1) as decode_pool:
+        pending = None  # (path, Future)
+        it = iter(paths)
+
+        def submit(p):
+            return (p, decode_pool.submit(_load_input, p, data_cfg, input_size))
+
+        for p in it:
+            if pending is None:
+                pending = submit(p)
+                continue
+            path, fut = pending
+            pending = submit(p)
+            _finish(module, state, path, fut, out_dir)
+            n_done += 1
+        if pending is not None:
+            path, fut = pending
+            _finish(module, state, path, fut, out_dir)
+            n_done += 1
+    dt = time.time() - t0
+    print(f"served {n_done} inputs in {dt:.1f}s", file=sys.stderr)
+    return 0
+
+
+def _finish(module, state, path: Path, fut, out_dir: Path) -> None:
+    try:
+        raw = fut.result()
+        _, result = score_input(module, state, raw, str(path))
+    except Exception as e:  # one bad input must not kill the service
+        print(f"ERROR {path}: {type(e).__name__}: {e}", file=sys.stderr)
+        return
+    out = out_dir / (path.stem + ".json")
+    out.write_text(json.dumps(result))
+    print(
+        f"{path}: {result['num_frames']} frames, "
+        f"score {result['video_anomaly_score']:.4f} -> {out}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
