@@ -12,18 +12,27 @@ weights so one image batch is encoded cooperatively by ``mp`` chips —
   contracts its slice; XLA inserts one psum over the model axis per projection),
 - everything small (LayerNorms, embeddings, the final projections) replicated.
 
-The specs are constraints, not a hand-written schedule: GSPMD propagates them
-through the ``lax.scan`` over stacked layers and inserts the collectives. The
-schedule is near-Megatron rather than exact: the qkv weight is stored packed as
-``(layers, W, [q|k|v])``, so when ``mp`` does not divide the three sections
-head-aligned, the ``jnp.split``/head reshape cuts across shard boundaries and
-GSPMD adds resharding permutes on top of the two Megatron all-reduces (measured
-on the compiled 2x4 scan body: 3 all-reduces + 7 collective-permutes per block,
-moving activation-sized chunks — same order as the all-reduces themselves).
-Parity is exact; the extra ICI traffic is the price of keeping one packed qkv
-layout shared with the single-chip fast path. Useful when the tower outgrows
-one chip's HBM or latency budget (ViT-L/14@336, or batch spikes in serving);
-for ViT-B/16 training, pure DP remains the measured optimum (docs/performance.md).
+Two variants:
+
+1. ``tp_encode_images``/``tp_encode_text`` — GSPMD-automatic: the specs are
+   constraints, XLA propagates them through the ``lax.scan`` and inserts the
+   collectives. Works for any tower unchanged, but the schedule is
+   near-Megatron rather than exact: the qkv weight is stored packed as
+   ``(layers, W, [q|k|v])``, so contiguous mp-chunks straddle the q/k/v
+   sections and GSPMD adds resharding permutes on top of the two Megatron
+   all-reduces (measured on the compiled 2x4 scan body: 3 all-reduces +
+   7 collective-permutes per block).
+2. ``tp_encode_images_aligned`` + ``shard_clip_params_aligned`` — the
+   exact-Megatron schedule: qkv columns are pre-permuted head-aligned at
+   placement time and an explicit ``jax.shard_map`` transformer makes every
+   matmul shard-local, leaving exactly one psum after the attention
+   out-projection and one after the MLP down-projection per block, zero
+   permutes (asserted on the compiled HLO in tests/test_tensor_parallel.py).
+   Requires ``mp | heads``; this is the serving-path variant.
+
+Useful when the tower outgrows one chip's HBM or latency budget (ViT-L/14@336,
+or batch spikes in serving); for ViT-B/16 training, pure DP remains the
+measured optimum (docs/performance.md).
 
 The attention core is forced to the XLA path under TP: a ``pallas_call`` carries
 no GSPMD partitioning rule, so GSPMD would replicate it across the model axis
@@ -131,6 +140,139 @@ def tp_encode_images(cfg, mesh: Mesh, compute_dtype="float32") -> Callable:
     from anomalyclip_tpu.models.clip.model import encode_image
 
     return _tp_encode(encode_image, cfg, mesh, compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Head-aligned TP: the exact-Megatron schedule (2 psums per block, no permutes)
+# ---------------------------------------------------------------------------
+
+
+def _qkv_head_perm(width: int, mp: int) -> np.ndarray:
+    """Column permutation of the packed ``[q|k|v]`` projection dim so each of the
+    ``mp`` contiguous chunks holds ``[q_S | k_S | v_S]`` for that device's head
+    subset S. This is what makes a plain contiguous PartitionSpec on the last dim
+    land exactly on head boundaries — the packed layout's chunks otherwise
+    straddle the q/k/v sections (see module docstring)."""
+    per = width // mp
+    cols = []
+    for m in range(mp):
+        for section in range(3):
+            start = section * width + m * per
+            cols.append(np.arange(start, start + per))
+    return np.concatenate(cols)
+
+
+def shard_clip_params_aligned(params: Any, mesh: Mesh) -> Any:
+    """Place a ViT CLIP param tree for tp_encode_images_aligned: identical specs
+    to shard_clip_params, but the visual blocks' qkv projection columns are
+    pre-permuted head-aligned (weights are placed once; the O(params) permute is
+    off the hot path). Only valid together with tp_encode_images_aligned — the
+    permuted layout breaks the stock ``jnp.split(qkv, 3)`` forward."""
+    import jax.numpy as jnp
+
+    mp = mesh.shape[MODEL_AXIS]
+    perm = _qkv_head_perm(params["visual"]["blocks"]["attn"]["qkv_w"].shape[1], mp)
+    params = dict(params)
+    visual = dict(params["visual"])
+    blocks = jax.tree_util.tree_map(lambda x: x, visual["blocks"])  # shallow copy
+    attn = dict(blocks["attn"])
+    attn["qkv_w"] = jnp.asarray(attn["qkv_w"])[:, :, perm]
+    attn["qkv_b"] = jnp.asarray(attn["qkv_b"])[:, perm]
+    blocks = {**blocks, "attn": attn}
+    visual["blocks"] = blocks
+    params["visual"] = visual
+    return shard_clip_params(params, mesh)
+
+
+def tp_encode_images_aligned(cfg, mesh: Mesh, compute_dtype="float32") -> Callable:
+    """-> jitted ``(params, images) -> (B, embed_dim)``: the visual tower with an
+    explicit shard_map transformer whose collective schedule is exactly Megatron —
+    one psum after the attention out-projection and one after the MLP
+    down-projection per block, zero resharding permutes (the head-aligned qkv
+    layout from shard_clip_params_aligned makes every matmul shard-local).
+
+    Mirrors models/clip/model.py:_encode_image/_block_apply math exactly (fp32
+    LayerNorm, QuickGELU, fp32 softmax); parity is pinned in
+    tests/test_tensor_parallel.py. Requires mp | vision_heads.
+    """
+    import jax.numpy as jnp
+
+    from anomalyclip_tpu.models.clip.model import (
+        layer_norm,
+        matmul_precision_for,
+        patchify,
+        quick_gelu,
+    )
+
+    dtype = jnp.dtype(compute_dtype)
+    mp = mesh.shape[MODEL_AXIS]
+    heads = cfg.vision_heads
+    assert heads % mp == 0, (heads, mp)
+    heads_local = heads // mp
+    dh = cfg.vision_width // heads
+    scale = 1.0 / (dh**0.5)
+
+    def local_blocks(x, blocks):
+        """Per-device scan over layers; runs under shard_map with x replicated
+        on the model axis and the block matmul weights shard-local."""
+        blocks = jax.tree_util.tree_map(lambda w: w.astype(x.dtype), blocks)
+
+        def body(carry, blk):
+            h = layer_norm(carry, blk["ln_1"]["scale"], blk["ln_1"]["bias"])
+            qkv = h @ blk["attn"]["qkv_w"] + blk["attn"]["qkv_b"]
+            q, k, v = jnp.split(qkv, 3, axis=-1)  # local [q_S|k_S|v_S] chunks
+            b, l, _ = q.shape
+
+            def split_heads(t):
+                return t.reshape(b, l, heads_local, dh).transpose(0, 2, 1, 3)
+
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", split_heads(q), split_heads(k),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            weights = jax.nn.softmax(
+                scores.astype(jnp.float32), axis=-1
+            ).astype(q.dtype)
+            attn = jnp.einsum("bhqk,bhkd->bhqd", weights, split_heads(v))
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, l, heads_local * dh)
+            out = jax.lax.psum(attn @ blk["attn"]["out_w"], MODEL_AXIS)
+            x1 = carry + out + blk["attn"]["out_b"]
+
+            h2 = layer_norm(x1, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
+            mid = quick_gelu(h2 @ blk["mlp"]["fc_w"] + blk["mlp"]["fc_b"])
+            proj = jax.lax.psum(mid @ blk["mlp"]["proj_w"], MODEL_AXIS)
+            return x1 + proj + blk["mlp"]["proj_b"], None
+
+        x, _ = jax.lax.scan(body, x, blocks)
+        return x
+
+    blocks_sm = jax.shard_map(
+        local_blocks,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), _blocks_specs()),
+        out_specs=P(DATA_AXIS),
+    )
+
+    def fn(params, images):
+        visual = params["visual"]
+        with matmul_precision_for(dtype):
+            x = patchify(images.astype(dtype), cfg.vision_patch_size)
+            x = x @ visual["patch_embed"].astype(dtype)
+            b = x.shape[0]
+            cls = jnp.broadcast_to(
+                visual["class_embedding"].astype(dtype), (b, 1, cfg.vision_width)
+            )
+            x = jnp.concatenate([cls, x], axis=1)
+            x = x + visual["positional_embedding"].astype(dtype)
+            x = layer_norm(x, visual["ln_pre"]["scale"], visual["ln_pre"]["bias"])
+            x = blocks_sm(x, visual["blocks"])
+            x = layer_norm(
+                x[:, 0, :], visual["ln_post"]["scale"], visual["ln_post"]["bias"]
+            )
+            return x @ visual["proj"].astype(dtype)
+
+    batch = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(fn, in_shardings=(None, batch), out_shardings=batch)
 
 
 def tp_encode_text(cfg, mesh: Mesh, compute_dtype="float32") -> Callable:

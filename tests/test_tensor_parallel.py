@@ -101,3 +101,53 @@ def test_tp_weights_are_distributed(tiny):
     # replicated leaves stay whole
     ln = placed["visual"]["ln_pre"]["scale"]
     assert {s.data.shape for s in ln.addressable_shards} == {ln.shape}
+
+
+@pytest.fixture(scope="module")
+def four_head():
+    """Width-256 -> 4 heads (vision_heads = width // 64): head-aligned TP needs
+    mp | heads, which the 1-head tiny config cannot provide."""
+    from anomalyclip_tpu.models.clip.model import CLIPConfig
+
+    cfg = CLIPConfig(
+        embed_dim=64, image_resolution=32, vision_layers=2, vision_width=256,
+        vision_patch_size=16, context_length=77, vocab_size=512,
+        transformer_width=64, transformer_heads=4, transformer_layers=2,
+    )
+    params = init_clip_params(jax.random.PRNGKey(3), cfg)
+    return cfg, params
+
+
+@pytest.mark.parametrize("dp,mp", [(2, 4), (4, 2)])
+def test_aligned_tp_encode_matches_single_device(four_head, dp, mp):
+    from anomalyclip_tpu.parallel.tp import (
+        shard_clip_params_aligned,
+        tp_encode_images_aligned,
+    )
+
+    cfg, params = four_head
+    images = _images(cfg)
+    want = np.asarray(encode_image(params, cfg, images))
+
+    mesh = dp_mp_mesh(dp, mp)
+    placed = shard_clip_params_aligned(params, mesh)
+    got = np.asarray(tp_encode_images_aligned(cfg, mesh)(placed, images))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_aligned_tp_schedule_has_no_resharding(four_head):
+    """The head-aligned layout must realize the exact Megatron schedule: psum
+    all-reduces only, zero collective-permutes in the compiled block scan."""
+    from anomalyclip_tpu.parallel.tp import (
+        shard_clip_params_aligned,
+        tp_encode_images_aligned,
+    )
+
+    cfg, params = four_head
+    mesh = dp_mp_mesh(2, 4)
+    placed = shard_clip_params_aligned(params, mesh)
+    images = _images(cfg)
+    compiled = tp_encode_images_aligned(cfg, mesh).lower(placed, images).compile()
+    hlo = compiled.as_text()
+    assert "collective-permute" not in hlo, "aligned TP must not reshard"
+    assert "all-reduce" in hlo  # the two per-block psums survive compilation
