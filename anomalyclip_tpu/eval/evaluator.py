@@ -45,7 +45,11 @@ def bucket_size(g: int, buckets: Tuple[int, ...]) -> int:
 
 DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
-ENCODE_CHUNK = 256  # one static shape for every chunked frame-encoding pass
+# one static shape for every chunked frame-encoding pass; MUST be the model's
+# own chunk so encode_frames sees exactly one lax.map dispatch per host chunk
+from anomalyclip_tpu.models.anomaly_clip import AnomalyCLIP as _ACLIP
+
+ENCODE_CHUNK = _ACLIP.ENCODE_CHUNK
 
 
 def encode_frames_chunked(

@@ -35,7 +35,6 @@ from anomalyclip_tpu.models.clip.model import (
     matmul_precision_for,
     text_transformer_on_embeddings,
 )
-from anomalyclip_tpu.models.losses import LossConfig
 from anomalyclip_tpu.models.prompt_learner import (
     PromptSpec,
     assemble_prompts,
@@ -322,6 +321,3 @@ class AnomalyCLIP:
             similarity = jnp.repeat(similarity, self.cfg.stride, axis=0)
             scores = jnp.repeat(scores, self.cfg.stride, axis=0)
             return similarity, scores
-
-    def loss_config(self, loss_cfg_dict: Dict[str, Any]) -> LossConfig:
-        return LossConfig(**loss_cfg_dict)

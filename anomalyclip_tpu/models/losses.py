@@ -123,9 +123,17 @@ def compute_loss(
         picked = jnp.take_along_axis(probs, idx[:, :, None, None], axis=1)
         return picked.reshape(-1, num_classes)
 
-    log_topk_abn = jnp.log(gather_segments(aprobs, idx_topk_abn))
-    log_bottomk_abn = jnp.log(gather_segments(aprobs, idx_bottomk_abn))
-    log_topk_nor = jnp.log(gather_segments(nprobs, idx_topk_nor))
+    # clamp before log: a saturated sigmoid score (exactly 0.0/1.0 in fp32, which
+    # happens once the temporal logit passes ~16.7) would otherwise yield
+    # log(0) = -inf and NaN the whole update. The torch reference's
+    # NLLLoss-on-log(probs) shares the fragility (loss.py:121-147); the clamp is
+    # a deliberate, numerically invisible (<1e-12) parity deviation.
+    def safe_log(p):
+        return jnp.log(jnp.maximum(p, 1e-12))
+
+    log_topk_abn = safe_log(gather_segments(aprobs, idx_topk_abn))
+    log_bottomk_abn = safe_log(gather_segments(aprobs, idx_bottomk_abn))
+    log_topk_nor = safe_log(gather_segments(nprobs, idx_topk_nor))
 
     # targets: original labels in the full class space (loss.py:149 reverses the
     # earlier column shift for labels above normal_id)

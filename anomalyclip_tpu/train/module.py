@@ -96,8 +96,17 @@ class AnomalyCLIPTrainModule:
         # --- data ----------------------------------------------------------
         data_cfg_dict = dict(cfg.data)
         net_cfg_dict = dict(cfg.model.net)
+        # resolve CLIP first: synthetic feature files must match the resolved
+        # tower's embed_dim (ViT-B/16 is 512-dim, ViT-L/14 768, RN50 1024, the
+        # random tiny config 64), not a hard-coded width
+        clip_params, clip_cfg = resolve_clip(
+            arch=net_cfg_dict.get("arch", "ViT-B/16"),
+            clip_init=net_cfg_dict.get("clip_init", "pretrained"),
+            clip_ckpt_path=net_cfg_dict.get("clip_ckpt_path"),
+            seed=self.seed,
+        )
         if data_cfg_dict.get("synthetic"):
-            clip_probe_dim = 64 if net_cfg_dict.get("clip_init") == "random" else 512
+            clip_probe_dim = clip_cfg.embed_dim
             generate_synthetic_dataset(
                 frames_root=data_cfg_dict["frames_root"],
                 annotations_root=data_cfg_dict["annotations_root"],
@@ -119,12 +128,6 @@ class AnomalyCLIPTrainModule:
         )
 
         # --- model ---------------------------------------------------------
-        clip_params, clip_cfg = resolve_clip(
-            arch=net_cfg_dict.get("arch", "ViT-B/16"),
-            clip_init=net_cfg_dict.get("clip_init", "pretrained"),
-            clip_ckpt_path=net_cfg_dict.get("clip_ckpt_path"),
-            seed=self.seed,
-        )
         self.net_cfg = _net_config(net_cfg_dict)
         self.model, self.frozen = AnomalyCLIP.build(self.net_cfg, clip_params, clip_cfg)
         self.loss_cfg = LossConfig(
@@ -339,14 +342,23 @@ class AnomalyCLIPTrainModule:
         return self._run_task(self._fit)
 
     def _fit(self) -> Dict[str, Any]:
+        profiler = self.cfg.get("trainer", ConfigNode()).get("profiler")
+        tracing = profiler == "jax" and is_host_zero()
+        if tracing:
+            jax.profiler.start_trace(str(self.save_dir / "profile"))
+        try:
+            return self._fit_body()
+        finally:
+            # stop on the exception path too: a crashed profiled run must still
+            # finalize its trace (the crashing step is the interesting one)
+            if tracing:
+                jax.profiler.stop_trace()
+
+    def _fit_body(self) -> Dict[str, Any]:
         cfg = self.cfg
         trainer_cfg = cfg.get("trainer", ConfigNode())
         fast_dev_run = bool(trainer_cfg.get("fast_dev_run"))
         max_epochs = 1 if fast_dev_run else int(trainer_cfg.get("max_epochs", 50))
-
-        profiler = trainer_cfg.get("profiler")
-        if profiler == "jax" and is_host_zero():
-            jax.profiler.start_trace(str(self.save_dir / "profile"))
 
         self.compute_ncentroid(
             limit=1 if fast_dev_run else None
@@ -513,9 +525,6 @@ class AnomalyCLIPTrainModule:
                 )
                 break
 
-        if profiler == "jax" and is_host_zero():
-            jax.profiler.stop_trace()
-
         self._final_state = state
         return last_val
 
@@ -583,12 +592,16 @@ class AnomalyCLIPTrainModule:
             frozen, trainable, bn_state = convert_lightning_checkpoint(sd)
             ckpt_clip_cfg = converted_clip_config(sd)
             n_ctx = int(np.asarray(trainable["prompt_ctx"]).shape[-2])
-            if ckpt_clip_cfg != self.model.clip_cfg or n_ctx != self.net_cfg.n_ctx:
-                self.net_cfg = dataclasses.replace(self.net_cfg, n_ctx=n_ctx)
-                self.model, _ = AnomalyCLIP.build(
-                    self.net_cfg, frozen["clip"], ckpt_clip_cfg
-                )
-                self._encode_frames_jit = None  # stale jit for the old model
+            # rebuild unconditionally: prompt_spec (token prefix/suffix, EOT
+            # indices) is derived from the token embedding, so even a same-shape
+            # config must not keep a spec computed from the *session's* CLIP
+            # while the frozen weights are swapped to the checkpoint's
+            self.net_cfg = dataclasses.replace(self.net_cfg, n_ctx=n_ctx)
+            self.model, _ = AnomalyCLIP.build(
+                self.net_cfg, frozen["clip"], ckpt_clip_cfg
+            )
+            self._encode_frames_jit = None  # stale jit for the old model
+            self._scorer_cache = None  # and stale scorer executables
             self.frozen = jax.tree_util.tree_map(jnp.asarray, frozen)
             return TrainState(
                 trainable=jax.tree_util.tree_map(jnp.asarray, trainable),

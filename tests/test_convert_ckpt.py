@@ -25,6 +25,38 @@ pytestmark = pytest.mark.skipif(
 VOCAB = 512
 
 
+def _lightning_sd(clip_model, temporal, n_cls: int, n_ctx: int, ctx_dim: int):
+    """Reference Lightning state-dict key structure from torch modules."""
+    import torch
+
+    state = {}
+    for k, v in clip_model.state_dict().items():
+        if k.startswith("visual."):
+            state["net.image_encoder." + k[len("visual."):]] = v
+        elif k.startswith("transformer."):
+            state["net.text_encoder.transformer." + k[len("transformer."):]] = v
+        elif k == "positional_embedding":
+            state["net.text_encoder.positional_embedding"] = v
+        elif k.startswith("ln_final."):
+            state["net.text_encoder." + k] = v
+        elif k == "text_projection":
+            state["net.text_encoder.text_projection"] = v
+        elif k == "token_embedding.weight":
+            state["net.token_embedding.weight"] = v
+        elif k == "logit_scale":
+            state["net.selector_model.logit_scale"] = v
+    torch.manual_seed(1)
+    state["net.prompt_learner.ctx"] = 0.02 * torch.randn(n_cls, n_ctx, ctx_dim)
+    state["net.prompt_learner.token_prefix"] = torch.randn(n_cls, 1, ctx_dim)
+    state["net.prompt_learner.token_suffix"] = torch.randn(n_cls, 77 - 1 - n_ctx, ctx_dim)
+    state["net.selector_model.bn_layer.running_mean"] = torch.randn(n_cls - 1)
+    state["net.selector_model.bn_layer.running_var"] = torch.rand(n_cls - 1) + 0.5
+    state["net.selector_model.bn_layer.num_batches_tracked"] = torch.tensor(42)
+    for k, v in temporal.state_dict().items():
+        state["net.temporal_model." + k] = v
+    return state
+
+
 @pytest.fixture(scope="module")
 def synthetic_lightning_ckpt(tmp_path_factory):
     """A Lightning-style checkpoint file with the reference's key structure."""
@@ -52,34 +84,7 @@ def synthetic_lightning_ckpt(tmp_path_factory):
         depth=1, num_segments=8, seg_length=4,
     ).float().eval()
 
-    n_cls, n_ctx, ctx_dim = 5, 8, 128
-    state = {}
-    clip_sd = clip_model.state_dict()
-    for k, v in clip_sd.items():
-        if k.startswith("visual."):
-            state["net.image_encoder." + k[len("visual."):]] = v
-        elif k.startswith("transformer."):
-            state["net.text_encoder.transformer." + k[len("transformer."):]] = v
-        elif k == "positional_embedding":
-            state["net.text_encoder.positional_embedding"] = v
-        elif k.startswith("ln_final."):
-            state["net.text_encoder." + k] = v
-        elif k == "text_projection":
-            state["net.text_encoder.text_projection"] = v
-        elif k == "token_embedding.weight":
-            state["net.token_embedding.weight"] = v
-        elif k == "logit_scale":
-            state["net.selector_model.logit_scale"] = v
-    torch.manual_seed(1)
-    state["net.prompt_learner.ctx"] = 0.02 * torch.randn(n_cls, n_ctx, ctx_dim)
-    state["net.prompt_learner.token_prefix"] = torch.randn(n_cls, 1, ctx_dim)
-    state["net.prompt_learner.token_suffix"] = torch.randn(n_cls, 77 - 1 - n_ctx, ctx_dim)
-    state["net.selector_model.bn_layer.running_mean"] = torch.randn(n_cls - 1)
-    state["net.selector_model.bn_layer.running_var"] = torch.rand(n_cls - 1) + 0.5
-    state["net.selector_model.bn_layer.num_batches_tracked"] = torch.tensor(42)
-    for k, v in temporal.state_dict().items():
-        state["net.temporal_model." + k] = v
-
+    state = _lightning_sd(clip_model, temporal, n_cls=5, n_ctx=8, ctx_dim=128)
     path = tmp_path_factory.mktemp("ckpt") / "epoch_042.ckpt"
     torch.save({"state_dict": state, "epoch": 42}, str(path))
     return path, clip_model, temporal, state
@@ -203,3 +208,66 @@ def test_arch_registry_matches_openai_shapes():
     assert CLIPConfig.vit_l14_336().grid_size == 24
     rn = CLIPConfig.rn50()
     assert rn.is_resnet and rn.vision_layers == (3, 4, 6, 3) and rn.vision_heads == 32
+
+
+def test_load_state_rebuilds_prompt_spec_from_checkpoint_clip(tmp_path):
+    """module.load_state on a Lightning .ckpt must rebuild the prompt spec from
+    the *checkpoint's* token embedding even when the session CLIP has the
+    identical config: the spec's prefix/suffix embeddings come from the token
+    embedding, and a same-shape session model would otherwise silently mix its
+    own (different) embeddings with the checkpoint's transformer weights.
+
+    Uses a full-vocab tiny CLIP (the BPE tokenizer emits real 49k-range ids, so
+    the module-level path cannot run on the truncated-vocab fixture)."""
+    import torch
+
+    from tests.helpers.axial_torch import TemporalModel as TorchTemporalModel
+    from tests.helpers.synthetic_run import synthetic_cfg
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    ref = load_reference_clip_model()
+    torch.manual_seed(0)
+    clip_model = ref.CLIP(
+        embed_dim=64, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=16, context_length=77, vocab_size=49408,
+        transformer_width=64, transformer_heads=1, transformer_layers=2,
+    ).float().eval()
+    temporal = TorchTemporalModel(
+        input_size=64, emb_size=32, output_size=1, heads=4, dim_heads=None,
+        depth=1, num_segments=8, seg_length=4,
+    ).float().eval()
+    state = _lightning_sd(clip_model, temporal, n_cls=6, n_ctx=8, ctx_dim=64)
+    ckpt = tmp_path / "released.ckpt"
+    torch.save({"state_dict": state, "epoch": 7}, str(ckpt))
+
+    # the checkpoint's own CLIP weights, and a same-config perturbed copy
+    sd_ref = {k: v.clone() for k, v in clip_model.state_dict().items()}
+    sd_pert = {k: v.clone() for k, v in sd_ref.items()}
+    torch.manual_seed(7)
+    sd_pert["token_embedding.weight"] += 0.5 * torch.randn_like(
+        sd_pert["token_embedding.weight"]
+    )
+    ref_pt, pert_pt = tmp_path / "clip_ref.pt", tmp_path / "clip_pert.pt"
+    torch.save(sd_ref, str(ref_pt))
+    torch.save(sd_pert, str(pert_pt))
+
+    def build(ckpt_pt):
+        cfg = synthetic_cfg(
+            tmp_path,
+            f"model.net.clip_ckpt_path={ckpt_pt}",
+            "model.net.clip_init=pretrained",
+            "model.net.n_ctx=8",
+        )
+        return AnomalyCLIPTrainModule(cfg)
+
+    # ground truth: a module built directly around the checkpoint's CLIP
+    want = build(ref_pt).model.prompt_spec
+
+    # session built around the perturbed same-config CLIP, then .ckpt loaded
+    module = build(pert_pt)
+    before = module.model.prompt_spec
+    assert not np.allclose(before.token_suffix, want.token_suffix, atol=1e-5)
+    module.load_state(str(ckpt))
+    after = module.model.prompt_spec
+    np.testing.assert_allclose(after.token_prefix, want.token_prefix, atol=1e-5)
+    np.testing.assert_allclose(after.token_suffix, want.token_suffix, atol=1e-5)

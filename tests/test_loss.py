@@ -109,3 +109,26 @@ def test_loss_is_differentiable():
     )
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_saturated_scores_stay_finite():
+    """A sigmoid score of exactly 0.0/1.0 (routine once the temporal logit
+    passes ~16.7 in fp32) must not -inf the NLL terms or NaN the gradient —
+    the log is clamped (a deliberate, numerically invisible parity deviation
+    from the reference's raw NLLLoss-on-log(probs))."""
+    import jax
+    import jax.numpy as jnp
+
+    sim, sim_topk, labels, scores, ia, inr, ib = _inputs(3)
+    scores = scores.copy()
+    scores[::2] = 1.0  # saturated anomalous frames -> normal_probs == 0
+    scores[1::2] = 0.0  # saturated normal frames -> class_probs == 0
+
+    terms = compute_loss(sim, sim_topk, labels, scores, ia, inr, ib, CFG)
+    assert np.isfinite(float(terms.total))
+
+    def total(s):
+        return compute_loss(sim, sim_topk, labels, s, ia, inr, ib, CFG).total
+
+    grad = jax.grad(lambda s: total(s))(jnp.asarray(scores))
+    assert bool(jnp.all(jnp.isfinite(grad)))
