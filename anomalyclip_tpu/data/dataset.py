@@ -69,6 +69,23 @@ class VideoDataset:
         self.temporal_annotations: Dict[str, List[int]] = (
             parse_temporal_annotations(temporal_annotation_file) if test_mode else {}
         )
+        self._decode_pool = None
+
+    def _test_pool(self):
+        """Lazy per-dataset decode pool for the frames path: a test video is
+        thousands of JPEG decodes in one test_item call, and the test loader's
+        prefetch only pipelines whole items — without this the eval decodes
+        serially while predict/extract_features scale with cores."""
+        if not isinstance(self.source, FrameSource):
+            return None
+        if self._decode_pool is None:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._decode_pool = ThreadPoolExecutor(
+                max_workers=min(32, os.cpu_count() or 1)
+            )
+        return self._decode_pool
 
     def __len__(self) -> int:
         return len(self.records)
@@ -111,7 +128,7 @@ class VideoDataset:
             record, self.temporal_annotations, self.source.num_frames(video), self.normal_id
         )
         return TestItem(
-            features=self.source.gather(video, indices),
+            features=self.source.gather(video, indices, pool=self._test_pool()),
             frame_labels=labels,
             video_label=record.label,
             segment_size=segment_size,

@@ -1,7 +1,7 @@
 """Batching + prefetching loaders.
 
-Replaces the reference's pair of torch DataLoaders that Lightning zips into
-(normal_batch, abnormal_batch) steps (reference:
+Replaces the reference's pair of torch DataLoaders that Lightning combines into
+(normal_batch, abnormal_batch) steps with max_size_cycle semantics (reference:
 src/data/anomaly_clip_datamodule.py:144-163). TPU-first design:
 
 - a :class:`TrainBatch` carries the abnormal and normal halves as separate fields,
@@ -36,8 +36,12 @@ class TrainBatch(NamedTuple):
 
 class DualStreamTrainLoader:
     """Paired abnormal/normal epochs: each stream shuffles independently, batches
-    are batch_size//2 from each, drop_last; epoch length = min of the two stream
-    lengths (zip semantics of the reference's loader list)."""
+    are batch_size//2 from each, drop_last. Epoch length = MAX of the two stream
+    lengths with the shorter stream cycling (reshuffled on each wrap) — Lightning
+    1.8's ``max_size_cycle`` semantics for a list of train loaders
+    (anomaly_clip_datamodule.py:144-163), which the reference relies on: e.g.
+    ShanghaiTech has ~3x more normal than abnormal train videos, and min-length
+    zip would run ~3x fewer optimizer steps per epoch than the reference."""
 
     def __init__(
         self,
@@ -62,19 +66,35 @@ class DualStreamTrainLoader:
         self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
     def __len__(self) -> int:
-        return min(len(self.normal) // self.half, len(self.abnormal) // self.half)
+        n, a = len(self.normal) // self.half, len(self.abnormal) // self.half
+        # a stream with fewer items than a half-batch cannot cycle into one
+        return max(n, a) if min(n, a) > 0 else 0
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    def close(self) -> None:
+        """Join the worker pool — call when done with the loader (multirun jobs
+        otherwise accumulate idle pools across trials in one process)."""
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
     def _epoch_plan(self):
         rng = np.random.default_rng((self.seed, self.epoch))
-        n_idx = rng.permutation(len(self.normal))
-        a_idx = rng.permutation(len(self.abnormal))
-        for b in range(len(self)):
+
+        def half_chunks(dataset):
+            # cycle: reshuffle whenever the stream is exhausted (Lightning
+            # restarts the shorter DataLoader, which reshuffles)
+            while True:
+                idx = rng.permutation(len(dataset))
+                for b in range(len(dataset) // self.half):
+                    yield idx[b * self.half : (b + 1) * self.half]
+
+        a_chunks = half_chunks(self.abnormal)
+        n_chunks = half_chunks(self.normal)
+        for _ in range(len(self)):
             yield (
-                a_idx[b * self.half : (b + 1) * self.half],
-                n_idx[b * self.half : (b + 1) * self.half],
+                next(a_chunks),
+                next(n_chunks),
                 rng.integers(np.iinfo(np.int64).max),
             )
 

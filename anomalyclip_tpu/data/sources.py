@@ -19,8 +19,15 @@ import numpy as np
 
 from anomalyclip_tpu.data.records import VideoRecord
 
-CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
-CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
+# single source for the CLIP normalization constants and the subtle resize/crop
+# geometry (torchvision long-side truncation, banker's-rounding crop placement):
+# data/transforms.py — re-exported here for the preprocess helpers' callers
+from anomalyclip_tpu.data.transforms import (  # noqa: F401 (re-export)
+    CLIP_MEAN,
+    CLIP_STD,
+    _center_offset,
+    _short_side_size,
+)
 
 
 class FeatureSource:
@@ -37,29 +44,24 @@ class FeatureSource:
     def num_frames(self, video: np.ndarray) -> int:
         return video.shape[0]
 
-    def gather(self, video: np.ndarray, frame_indices: np.ndarray) -> np.ndarray:
-        """-> (ncrops, len(frame_indices), D)"""
+    def gather(self, video: np.ndarray, frame_indices: np.ndarray, pool=None) -> np.ndarray:
+        """-> (ncrops, len(frame_indices), D). ``pool`` accepted for signature
+        uniformity with FrameSource.gather; a numpy fancy-index needs none."""
         return video[frame_indices].transpose(1, 0, 2)
 
 
 def spatial_frame(img, input_size: int = 224) -> np.ndarray:
     """Resize + center-crop one PIL image -> (input_size, input_size, 3) uint8 RGB
-    (the spatial half of CLIP preprocessing; combine with normalize_frames)."""
+    (the spatial half of CLIP preprocessing; combine with normalize_frames).
+    Geometry (short-side bicubic resize with long-side truncation, banker's
+    center-crop placement) comes from transforms.py's helpers."""
     from PIL import Image
 
     w, h = img.size
-    # bicubic resize so the short side equals input_size (GroupScale semantics);
-    # torchvision Resize TRUNCATES the long side (int(size * long / short)), so
-    # round() would shift the center crop by a pixel on half-fraction aspect ratios
-    if w < h:
-        new_w, new_h = input_size, max(int(h * input_size / w), input_size)
-    else:
-        new_h, new_w = input_size, max(int(w * input_size / h), input_size)
+    new_h, new_w = _short_side_size(h, w, input_size)
     img = img.resize((new_w, new_h), Image.BICUBIC)
-    # torchvision CenterCrop placement: int(round(margin / 2)) (banker's), which
-    # differs from margin // 2 by one pixel when margin % 4 == 3
-    left = int(round((new_w - input_size) / 2.0))
-    top = int(round((new_h - input_size) / 2.0))
+    left = _center_offset(new_w - input_size)
+    top = _center_offset(new_h - input_size)
     img = img.crop((left, top, left + input_size, top + input_size))
     return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
@@ -86,15 +88,11 @@ def preprocess_frame_cv2(path: str, input_size: int = 224) -> np.ndarray:
     if img is None:
         raise FileNotFoundError(path)
     h, w = img.shape[:2]
-    # long side truncates, matching preprocess_frame / torchvision Resize
-    if w < h:
-        new_w, new_h = input_size, max(int(h * input_size / w), input_size)
-    else:
-        new_h, new_w = input_size, max(int(w * input_size / h), input_size)
+    new_h, new_w = _short_side_size(h, w, input_size)
     interp = cv2.INTER_AREA if new_w < w else cv2.INTER_CUBIC
     img = cv2.resize(img, (new_w, new_h), interpolation=interp)
-    top = int(round((new_h - input_size) / 2.0))
-    left = int(round((new_w - input_size) / 2.0))
+    top = _center_offset(new_h - input_size)
+    left = _center_offset(new_w - input_size)
     img = img[top : top + input_size, left : left + input_size]
     arr = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
     return (arr - CLIP_MEAN) / CLIP_STD

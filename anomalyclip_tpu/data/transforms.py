@@ -459,7 +459,9 @@ class GroupRandomColorJitter:
         for k in order:
             name, factor = ops[int(k)]
             f = fns[name](f, float(factor))
-        return f.astype(clip.dtype) if clip.dtype == np.uint8 else f
+        # round, don't truncate: PIL/torchvision round on the float->uint8 cast
+        # (and GroupRandomGrayscale/gaussian blur here already do)
+        return np.round(f).astype(clip.dtype) if clip.dtype == np.uint8 else f
 
 
 @_rng_transform

@@ -47,9 +47,7 @@ DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
 # one static shape for every chunked frame-encoding pass; MUST be the model's
 # own chunk so encode_frames sees exactly one lax.map dispatch per host chunk
-from anomalyclip_tpu.models.anomaly_clip import AnomalyCLIP as _ACLIP
-
-ENCODE_CHUNK = _ACLIP.ENCODE_CHUNK
+ENCODE_CHUNK = AnomalyCLIP.ENCODE_CHUNK
 
 
 def encode_frames_chunked(
@@ -198,9 +196,16 @@ def score_video(item: TestItem, scorer: GridScorer, model: AnomalyCLIP) -> Video
     sim = (
         similarity.reshape(ncrops, s, n, l, c_abn)
         .transpose(0, 2, 1, 3, 4)
-        .reshape(ncrops * t, c_abn)
+        .reshape(ncrops, t, c_abn)
     )
-    sc = scores.reshape(ncrops, s, n, l).transpose(0, 2, 1, 3).reshape(ncrops * t)
+    sc = scores.reshape(ncrops, s, n, l).transpose(0, 2, 1, 3).reshape(ncrops, t)
+    # multicrop consensus: average per-frame outputs over crops (TSN-style).
+    # The reference flattens crop-major and trims to num_labels, silently
+    # keeping only crop 0 (anomaly_clip_module.py:473-482 never sees ncrops>1 —
+    # its configs are all ncrops=1); averaging is what makes the 10-crop path
+    # this rebuild wires up actually mean something. ncrops=1 is the identity.
+    sim = sim.mean(axis=0)
+    sc = sc.mean(axis=0)
 
     # frame-rate expansion by stride (anomaly_clip.py:149-152)
     sim = np.repeat(sim, cfg.stride, axis=0)

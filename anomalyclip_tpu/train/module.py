@@ -353,6 +353,9 @@ class AnomalyCLIPTrainModule:
             # finalize its trace (the crashing step is the interesting one)
             if tracing:
                 jax.profiler.stop_trace()
+            loader = getattr(self, "_train_loader", None)
+            if loader is not None and hasattr(loader, "close"):
+                loader.close()
 
     def _fit_body(self) -> Dict[str, Any]:
         cfg = self.cfg
@@ -364,7 +367,9 @@ class AnomalyCLIPTrainModule:
             limit=1 if fast_dev_run else None
         )
 
-        train_loader = self.datamodule.train_dataloader()
+        # kept on self so _fit's finally can join the worker pool even when an
+        # epoch raises (multirun trials share one process)
+        train_loader = self._train_loader = self.datamodule.train_dataloader()
         overfit_batches = int(trainer_cfg.get("overfit_batches") or 0)
         steps_per_epoch = _limit_count(
             len(train_loader), trainer_cfg.get("limit_train_batches")

@@ -221,3 +221,43 @@ def test_fast_decode_matches_pil_preprocessing(tmp_path):
     got = preprocess_frame_cv2(str(path))
     assert got.shape == want.shape == (224, 224, 3)
     assert np.abs(got - want).mean() < 0.01  # normalized units
+
+
+def test_dual_stream_loader_max_size_cycle(synthetic_dirs):
+    """Epoch length is the LONGER stream's batch count; the shorter stream
+    cycles with a reshuffle on wrap (Lightning 1.8 max_size_cycle for a list of
+    train loaders, the reference's configuration — min-length zip would run
+    ~3x fewer optimizer steps on ShanghaiTech-scale imbalance)."""
+    frames, annos = synthetic_dirs
+    sampling = SamplingConfig(num_segments=N, frames_per_segment=L, stride=STRIDE)
+
+    def make(path):
+        return VideoDataset(
+            annotation_file=str(annos / path),
+            root=str(frames),
+            normal_id=NORMAL_ID,
+            sampling=sampling,
+            source=FeatureSource(ncrops=1),
+        )
+
+    # half=1: 3 videos per stream -> 3 batches each; simulate imbalance by
+    # restricting the abnormal stream to 1 record
+    abnormal = make("Anomaly_Train_Abnormal.txt")
+    abnormal.records = abnormal.records[:1]
+    loader = DualStreamTrainLoader(
+        normal=make("Anomaly_Train_Normal.txt"),
+        abnormal=abnormal,
+        batch_size=2,
+        seed=0,
+        num_workers=2,
+    )
+    assert len(loader) == 3  # max(3 normal, 1 abnormal)
+    batches = list(loader)
+    assert len(batches) == 3
+    # the shorter stream cycled: every abnormal half is the same single video
+    for b in batches:
+        assert (b.abnormal_labels != NORMAL_ID).all()
+    # the longer stream covered all of its videos exactly once
+    normals = np.concatenate([b.normal_features for b in batches])
+    assert len(np.unique(normals.round(5), axis=0)) == 3
+    loader.close()

@@ -108,3 +108,36 @@ def test_train_forward_and_grad(built_model):
     assert float(jnp.abs(grads["text_projection"]).max()) > 0
     leaves = jax.tree_util.tree_leaves(grads["temporal"])
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
+def test_score_video_averages_crops(built_model):
+    """ncrops>1 must produce a TSN-style per-frame consensus: the mean of each
+    crop's single-crop scores — not (as a flat crop-major trim would) crop 0
+    alone at N-crop cost."""
+    model, frozen, trainable, bn_state = built_model
+    rng = np.random.default_rng(1)
+    n, l, d = 4, 3, model.embedding_dim
+    s, ncrops = 2, 3
+    t = n * s * l
+    feats = rng.standard_normal((ncrops, t, d)).astype(np.float32)
+    ncentroid = rng.standard_normal(d).astype(np.float32)
+    labels = np.zeros(t - 4, dtype=np.int64)
+    scorer = GridScorer(model, frozen, trainable, bn_state, ncentroid)
+
+    def score(features):
+        item = TestItem(
+            features=features, frame_labels=labels, video_label=0,
+            segment_size=s, path="x.npy",
+        )
+        return score_video(item, scorer, model)
+
+    multi = score(feats)
+    singles = [score(feats[c : c + 1]) for c in range(ncrops)]
+    np.testing.assert_allclose(
+        multi.scores, np.mean([v.scores for v in singles], axis=0),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        multi.similarity, np.mean([v.similarity for v in singles], axis=0),
+        rtol=1e-5, atol=1e-6,
+    )
