@@ -161,3 +161,31 @@ def test_devices_auto_outside_sim_does_not_parse():
     import train as train_entry
 
     train_entry._apply_platform_overrides(["trainer=tpu", "trainer.devices=auto"])
+
+
+def test_dp_sim_replaces_stale_device_count_flag(monkeypatch):
+    """A leftover xla_force_host_platform_device_count in XLA_FLAGS must be
+    REPLACED by the sim fan-out, not silently kept (a stale count either fans
+    out the wrong mesh or re-execs forever); non-numeric devices values are
+    tolerated (auto -> default, comma sweep -> max)."""
+    import train as train_entry
+
+    monkeypatch.setenv(
+        "XLA_FLAGS", "--some_flag --xla_force_host_platform_device_count=1"
+    )
+    # the test env already exposes >=4 cpu devices (conftest), so no re-exec
+    train_entry._apply_platform_overrides(
+        ["trainer=dp_sim", "trainer.devices=2,4"]
+    )
+    import os
+
+    flags = os.environ["XLA_FLAGS"]
+    assert "--some_flag" in flags
+    assert flags.count("xla_force_host_platform_device_count") == 1
+    assert "xla_force_host_platform_device_count=4" in flags  # max of the sweep
+
+    monkeypatch.setenv("XLA_FLAGS", "")
+    train_entry._apply_platform_overrides(
+        ["trainer=dp_sim", "trainer.devices=auto"]
+    )
+    assert "xla_force_host_platform_device_count=2" in os.environ["XLA_FLAGS"]
