@@ -183,7 +183,7 @@ def _prefetched(gen, depth: int):
         except BaseException as exc:  # surfaced on the consumer side
             _put(exc)
 
-    threading.Thread(target=worker, daemon=True).start()
+    threading.Thread(target=worker, daemon=True, name="anomalyclip-prefetch").start()
     try:
         while True:
             item = q.get()

@@ -91,6 +91,6 @@ def test_reference_trainer_group_names_compose():
         "tpu": ("tpu", "auto"),
     }
     for name, (acc, dev) in expect.items():
-        cfg = compose("configs", "train", ["experiment=synthetic", f"trainer={name}"])
+        cfg = compose(CONFIG_DIR, "train", ["experiment=synthetic", f"trainer={name}"])
         assert cfg["trainer"]["accelerator"] == acc, name
         assert cfg["trainer"]["devices"] == dev, name

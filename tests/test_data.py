@@ -14,7 +14,9 @@ from anomalyclip_tpu.data.sources import FeatureSource
 from anomalyclip_tpu.data.synthetic import generate_synthetic_dataset
 from tests.helpers.reference_oracle import load_reference_module, reference_available
 
-pytestmark = pytest.mark.skipif(
+# only the oracle-parity tests need the reference checkout; loader semantics,
+# sampling properties, and fast-decode parity must run everywhere
+needs_reference = pytest.mark.skipif(
     not reference_available(), reason="reference checkout not present"
 )
 
@@ -64,6 +66,7 @@ def oracle_dataset_cls():
     return mod.VideoFrameDataset
 
 
+@needs_reference
 def test_test_items_match_reference_exactly(synthetic_dirs, oracle_dataset_cls):
     frames, annos = synthetic_dirs
     oracle = oracle_dataset_cls(
@@ -102,6 +105,7 @@ def test_test_items_match_reference_exactly(synthetic_dirs, oracle_dataset_cls):
         assert got.path == want_path
 
 
+@needs_reference
 def test_train_start_indices_formula_matches(oracle_dataset_cls, synthetic_dirs):
     """With jitter pinned to zero, our train sampling grid equals the reference's."""
     frames, annos = synthetic_dirs
@@ -201,6 +205,7 @@ def test_dual_stream_loader_shapes_and_halving(synthetic_dirs):
     loader.set_epoch(1)
     b1_again = list(loader)[0]
     np.testing.assert_array_equal(b1.abnormal_features, b1_again.abnormal_features)
+    loader.close()
 
 
 def test_fast_decode_matches_pil_preprocessing(tmp_path):

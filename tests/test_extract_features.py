@@ -129,7 +129,8 @@ def test_extract_discovers_videos_without_annotations(tmp_path, frames_corpus):
     for name, n in lengths.items():
         assert np.load(out / f"{name}.npy").shape[0] == n
 
-    # skip-existing honored; --overwrite forces
+    # skip-existing honored: a re-run must not rewrite any file
+    mtimes = {name: (out / f"{name}.npy").stat().st_mtime_ns for name in lengths}
     rc = main(
         [
             "--frames-root", str(froot), "--out-root", str(out),
@@ -137,3 +138,16 @@ def test_extract_discovers_videos_without_annotations(tmp_path, frames_corpus):
         ]
     )
     assert rc == 0
+    for name in lengths:
+        assert (out / f"{name}.npy").stat().st_mtime_ns == mtimes[name]
+
+    # --overwrite forces re-extraction (every file rewritten)
+    rc = main(
+        [
+            "--frames-root", str(froot), "--out-root", str(out),
+            "--clip-init", "random", "--dtype", "float32", "--overwrite",
+        ]
+    )
+    assert rc == 0
+    for name in lengths:
+        assert (out / f"{name}.npy").stat().st_mtime_ns != mtimes[name]

@@ -106,7 +106,6 @@ _TRAIN_WORKER = textwrap.dedent(
     assert maybe_initialize_distributed()
     import jax, jax.numpy as jnp, numpy as np, optax
     from jax.sharding import NamedSharding, PartitionSpec
-    sys.path.insert(0, os.environ["REPO_ROOT"])
     import __graft_entry__ as g
     from anomalyclip_tpu.data.loader import TrainBatch
     from anomalyclip_tpu.models.losses import LossConfig, compute_loss
@@ -211,7 +210,14 @@ def test_two_process_train_step_matches_single_process(tmp_path):
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
         )
-    outs = [p.communicate(timeout=420) for p in procs]
+    try:
+        outs = [p.communicate(timeout=420) for p in procs]
+    finally:
+        # a crashed peer leaves the other blocked in the coordinator barrier;
+        # an orphan would hold the port and hang later runs
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err[-2000:]
     losses = [

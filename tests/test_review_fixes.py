@@ -102,7 +102,14 @@ def test_ncentroid_limit_never_cached(tmp_path):
 def test_prefetch_abandon_releases_worker():
     from anomalyclip_tpu.data.loader import _prefetched
 
-    started = threading.active_count()
+    def prefetch_workers():
+        # track the named worker specifically: the process-global thread count
+        # is perturbed by unrelated pools from other tests
+        return [
+            t for t in threading.enumerate() if t.name == "anomalyclip-prefetch"
+        ]
+
+    started = len(prefetch_workers())
 
     def slow_gen():
         for i in range(100):
@@ -112,9 +119,9 @@ def test_prefetch_abandon_releases_worker():
     assert next(it) == 0
     it.close()  # consumer abandons early
     deadline = time.time() + 5
-    while threading.active_count() > started and time.time() < deadline:
+    while len(prefetch_workers()) > started and time.time() < deadline:
         time.sleep(0.05)
-    assert threading.active_count() <= started, "prefetch worker leaked"
+    assert len(prefetch_workers()) <= started, "prefetch worker leaked"
 
 
 def test_uint8_frames_encode_identically_to_float32():
