@@ -160,10 +160,51 @@ class AnomalyCLIPTrainModule:
 
     def _encode_jit(self):
         """The one jitted CLIP frame encoder, shared by the ncentroid pass and the
-        evaluator (one compile per model)."""
+        evaluator (one compile per model). ``trainer.model_parallel: N`` (with
+        >=N devices) routes it through the tensor-parallel tower instead —
+        batch over the data axis, weights Megatron-sharded over the model axis
+        (parallel/tp.py) — for towers that outgrow one chip."""
         if self._encode_frames_jit is None:
-            self._encode_frames_jit = jax.jit(self.model.encode_frames)
+            mp = int(
+                self.cfg.get("trainer", ConfigNode()).get("model_parallel") or 1
+            )
+            if mp > 1 and len(jax.devices()) >= mp:
+                self._encode_frames_jit = self._tp_encode_fn(mp)
+            else:
+                self._encode_frames_jit = jax.jit(self.model.encode_frames)
         return self._encode_frames_jit
+
+    def _tp_encode_fn(self, mp: int):
+        """(frozen, frames) -> (N, D) through the TP tower. The clip params are
+        placed on the 2-D mesh once here; the per-call ``frozen`` argument is
+        ignored (the builder is invalidated whenever self.frozen is swapped —
+        load_state sets _encode_frames_jit back to None)."""
+        from anomalyclip_tpu.parallel.tp import (
+            dp_mp_mesh,
+            shard_clip_params,
+            shard_clip_params_aligned,
+            tp_encode_images,
+            tp_encode_images_aligned,
+        )
+
+        devices = jax.devices()
+        mesh = dp_mp_mesh(len(devices) // mp, mp, devices)
+        clip_cfg = self.model.clip_cfg
+        clip = self.frozen["clip"]
+        # head-aligned shard_map variant (exact-Megatron schedule) when the
+        # head count allows; GSPMD-automatic specs otherwise
+        if not clip_cfg.is_resnet and clip_cfg.vision_heads % mp == 0:
+            placed = shard_clip_params_aligned(clip, mesh)
+            enc = tp_encode_images_aligned(clip_cfg, mesh, self.model.cfg.dtype)
+        else:
+            placed = shard_clip_params(clip, mesh)
+            enc = tp_encode_images(clip_cfg, mesh, self.model.cfg.dtype)
+        log.info(f"TP encode: mesh {dict(mesh.shape)} over {devices[0].platform}")
+
+        def fn(_frozen, frames):
+            return enc(placed, frames)
+
+        return fn
 
     def _frame_features(self, features: np.ndarray) -> np.ndarray:
         """Encode raw frames to CLIP features for the ncentroid pass (frames path)."""

@@ -151,3 +151,38 @@ def test_aligned_tp_schedule_has_no_resharding(four_head):
     hlo = compiled.as_text()
     assert "collective-permute" not in hlo, "aligned TP must not reshard"
     assert "all-reduce" in hlo  # the two per-block psums survive compilation
+
+
+@pytest.mark.slow
+def test_model_parallel_knob_scores_identically(tmp_path):
+    """trainer.model_parallel=2 routes the module's frame encoder through the
+    TP tower (parallel/tp.py); test metrics on the frames path must equal the
+    single-tower run exactly."""
+    from tests.helpers.synthetic_run import synthetic_cfg
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    overrides = [
+        "data.load_from_features=False",
+        "data.input_size=32",
+        "data.fast_decode=True",
+        "data.synthetic_min_frames=120",
+        "data.synthetic_max_frames=160",
+        "data.synthetic_num_test=2",
+        "trainer.max_epochs=1",
+        "trainer.limit_train_batches=1",
+        "trainer.limit_val_batches=2",
+    ]
+
+    cfg1 = synthetic_cfg(tmp_path / "mp1", *overrides)
+    m1 = AnomalyCLIPTrainModule(cfg1)
+    m1.fit()
+    ckpt = m1.save_dir / "checkpoints" / "last"
+
+    # same checkpoint evaluated with the TP encoder
+    cfg2 = synthetic_cfg(tmp_path / "mp1", *overrides, "trainer.model_parallel=2")
+    m2 = AnomalyCLIPTrainModule(cfg2)
+    want = m1.test(ckpt_path=str(ckpt))
+    got = m2.test(ckpt_path=str(ckpt))
+    assert m2._encode_frames_jit is not None
+    for k in ("auc_roc", "auc_pr"):
+        assert got[k] == pytest.approx(want[k], abs=1e-6), k
