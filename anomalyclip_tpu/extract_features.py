@@ -127,6 +127,12 @@ def main(argv: Optional[Iterable[str]] = None) -> int:
         if out_path.exists() and not args.overwrite:
             print(f"skip {rel} (exists)", file=sys.stderr)
             continue
+        if n <= 0:
+            # fail loudly: a silently skipped video would never get a feature
+            # file and the skip-existing resume check would retry it forever
+            raise SystemExit(
+                f"{rel}: no frames (start/end annotation malformed or empty dir)"
+            )
         rec = VideoRecord(
             rel_path=rel, start_frame=start, end_frame=start + n - 1, label=0,
             root=str(args.frames_root),

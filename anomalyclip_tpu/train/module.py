@@ -171,6 +171,12 @@ class AnomalyCLIPTrainModule:
             if mp > 1 and len(jax.devices()) >= mp:
                 self._encode_frames_jit = self._tp_encode_fn(mp)
             else:
+                if mp > 1:
+                    log.warning(
+                        f"trainer.model_parallel={mp} requested but only "
+                        f"{len(jax.devices())} device(s) visible — encoding on "
+                        "the single-device tower instead"
+                    )
                 self._encode_frames_jit = jax.jit(self.model.encode_frames)
         return self._encode_frames_jit
 
@@ -178,7 +184,14 @@ class AnomalyCLIPTrainModule:
         """(frozen, frames) -> (N, D) through the TP tower. The clip params are
         placed on the 2-D mesh once here; the per-call ``frozen`` argument is
         ignored (the builder is invalidated whenever self.frozen is swapped —
-        load_state sets _encode_frames_jit back to None)."""
+        load_state sets _encode_frames_jit back to None).
+
+        Known limitation: ``self.frozen`` keeps the unsharded tower resident
+        (the training path and text tower share it), so model_parallel reduces
+        encode latency/compute per chip but not device 0's peak weight
+        footprint; serving a tower strictly larger than one chip needs a
+        load-directly-into-placement path the checkpoint loader doesn't have
+        yet."""
         from anomalyclip_tpu.parallel.tp import (
             dp_mp_mesh,
             shard_clip_params,
