@@ -34,9 +34,26 @@ def generate_synthetic_dataset(
     (``data.load_from_features=False``) runs end-to-end too."""
     frames_root = Path(frames_root)
     annotations_root = Path(annotations_root)
-    stamp = annotations_root / (".synthetic_ok_frames" if make_frames else ".synthetic_ok")
-    if stamp.is_file() and not force:
+    # the stamp records the FULL parameter tuple: a generation under different
+    # params against the same root must regenerate, or annotations and feature
+    # files silently desync (annotation frame counts no longer match the .npy
+    # lengths -> length-mismatch crashes deep inside metrics)
+    params = repr(
+        (
+            num_normal, num_abnormal, num_test, num_classes, normal_id,
+            feature_dim, min_frames, max_frames, seed, make_frames, frame_size,
+        )
+    )
+    stamp = annotations_root / ".synthetic_ok"
+    if stamp.is_file() and not force and stamp.read_text().strip() == params:
         return
+    # parameters changed (or first run): wipe both roots so nothing stale
+    # (old-length features, other-mode frame dirs, old stamps) survives
+    import shutil
+
+    for root in (frames_root, annotations_root):
+        if root.exists():
+            shutil.rmtree(root)
     frames_root.mkdir(parents=True, exist_ok=True)
     annotations_root.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -118,4 +135,4 @@ def generate_synthetic_dataset(
     (annotations_root / "Temporal_Anomaly_Annotation_for_Testing_Videos.txt").write_text(
         "\n".join(temporal_lines) + "\n"
     )
-    stamp.write_text("ok\n")
+    stamp.write_text(params + "\n")

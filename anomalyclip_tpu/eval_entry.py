@@ -16,11 +16,11 @@ from pathlib import Path
 
 def main(argv=None) -> dict:
     argv = list(sys.argv[1:] if argv is None else argv)
-    if any(a in ("trainer=cpu", "trainer.accelerator=cpu") for a in argv):
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
+    # full shared pre-pass (cpu forcing AND dp_sim fan-out — e.g. CPU-simulating
+    # trainer.model_parallel needs the virtual device count here too)
+    from anomalyclip_tpu.train_entry import _apply_platform_overrides
 
-        jax.config.update("jax_platforms", "cpu")
+    _apply_platform_overrides(argv, reexec_module="anomalyclip_tpu.eval_entry")
 
     # multi-host bring-up before any backend-initializing jax call
     from anomalyclip_tpu.parallel.mesh import maybe_initialize_distributed

@@ -168,17 +168,35 @@ class AnomalyCLIPTrainModule:
             mp = int(
                 self.cfg.get("trainer", ConfigNode()).get("model_parallel") or 1
             )
-            if mp > 1 and len(jax.devices()) >= mp:
+            reason = self._tp_unavailable_reason(mp) if mp > 1 else None
+            if mp > 1 and reason is None:
                 self._encode_frames_jit = self._tp_encode_fn(mp)
             else:
                 if mp > 1:
                     log.warning(
-                        f"trainer.model_parallel={mp} requested but only "
-                        f"{len(jax.devices())} device(s) visible — encoding on "
-                        "the single-device tower instead"
+                        f"trainer.model_parallel={mp} requested but {reason} — "
+                        "encoding on the single-device tower instead"
                     )
                 self._encode_frames_jit = jax.jit(self.model.encode_frames)
         return self._encode_frames_jit
+
+    def _tp_unavailable_reason(self, mp: int) -> Optional[str]:
+        """Why trainer.model_parallel=mp cannot run here (None = it can).
+        Local (addressable) devices only: the host feeds per-process numpy
+        chunks, so the TP mesh must be host-local even on multi-host runs."""
+        n = len(jax.local_devices())
+        if n < mp or n % mp != 0:
+            return f"{n} local device(s) do not divide into model_parallel={mp}"
+        from anomalyclip_tpu.models.anomaly_clip import AnomalyCLIP as _A
+
+        dp = n // mp
+        if _A.ENCODE_CHUNK % dp != 0:
+            return f"encode chunk {_A.ENCODE_CHUNK} not divisible by dp={dp}"
+        if self.model.clip_cfg.is_resnet:
+            # clip_tp_specs leaves ResNet towers replicated (no scan blocks to
+            # shard) — a (dp, mp) mesh would just idle mp-1 replicas per batch
+            return "ResNet towers have no TP sharding (stay on the DP path)"
+        return None
 
     def _tp_encode_fn(self, mp: int):
         """(frozen, frames) -> (N, D) through the TP tower. The clip params are
@@ -200,13 +218,14 @@ class AnomalyCLIPTrainModule:
             tp_encode_images_aligned,
         )
 
-        devices = jax.devices()
+        devices = jax.local_devices()  # host-local mesh: the host feeds numpy
         mesh = dp_mp_mesh(len(devices) // mp, mp, devices)
         clip_cfg = self.model.clip_cfg
         clip = self.frozen["clip"]
         # head-aligned shard_map variant (exact-Megatron schedule) when the
-        # head count allows; GSPMD-automatic specs otherwise
-        if not clip_cfg.is_resnet and clip_cfg.vision_heads % mp == 0:
+        # head count allows; GSPMD-automatic specs otherwise (ResNet towers
+        # never reach here — _tp_unavailable_reason routes them to DP)
+        if clip_cfg.vision_heads % mp == 0:
             placed = shard_clip_params_aligned(clip, mesh)
             enc = tp_encode_images_aligned(clip_cfg, mesh, self.model.cfg.dtype)
         else:

@@ -19,11 +19,12 @@ import sys
 from pathlib import Path
 
 
-def _apply_platform_overrides(argv) -> None:
+def _apply_platform_overrides(argv, reexec_module="anomalyclip_tpu.train_entry") -> None:
     """Pick the backend before any jax device query. trainer=cpu / accelerator=cpu
     forces the host platform (the reference's configs/trainer/cpu.yaml analogue);
     trainer=dp_sim additionally fans the host platform out to N virtual devices
-    (the ddp_spawn-on-CPU simulation, reference configs/trainer/ddp_sim.yaml)."""
+    (the ddp_spawn-on-CPU simulation, reference configs/trainer/ddp_sim.yaml).
+    Shared by the eval entry (which passes its own ``reexec_module``)."""
     wants_sim = any(a in ("trainer=dp_sim", "trainer=ddp_sim") for a in argv)
     wants_cpu = wants_sim or any(
         a in ("trainer=cpu", "trainer.accelerator=cpu") for a in argv
@@ -81,7 +82,7 @@ def _apply_platform_overrides(argv) -> None:
                 p for p in (pkg_root, env.get("PYTHONPATH")) if p
             )
             result = subprocess.run(
-                [_sys.executable, "-m", "anomalyclip_tpu.train_entry"] + argv,
+                [_sys.executable, "-m", reexec_module] + argv,
                 env=env,
             )
             raise SystemExit(result.returncode)

@@ -266,3 +266,32 @@ def test_dual_stream_loader_max_size_cycle(synthetic_dirs):
     normals = np.concatenate([b.normal_features for b in batches])
     assert len(np.unique(normals.round(5), axis=0)) == 3
     loader.close()
+
+
+def test_synthetic_regenerates_on_param_change(tmp_path):
+    """Generating under different parameters against the same root must fully
+    regenerate: a stale mix (old-length .npy files with new annotations) made
+    label/score lengths diverge and crashed deep inside the metrics."""
+    froot, aroot = tmp_path / "features", tmp_path / "annotations"
+
+    def check_consistent():
+        for line in (aroot / "Anomaly_Test.txt").read_text().strip().split("\n"):
+            rel, start, end = line.split()[:3]
+            n_ann = int(end) - int(start) + 1
+            n_npy = np.load(froot / f"{rel}.npy").shape[0]
+            assert n_npy == n_ann, (rel, n_ann, n_npy)
+
+    common = dict(num_normal=2, num_abnormal=2, num_test=2, num_classes=6,
+                  normal_id=NORMAL_ID, feature_dim=8, seed=3)
+    generate_synthetic_dataset(froot, aroot, min_frames=80, max_frames=120, **common)
+    check_consistent()
+    # same params: second call is a no-op (stamp matches)
+    stamp = (aroot / ".synthetic_ok").read_text()
+    generate_synthetic_dataset(froot, aroot, min_frames=80, max_frames=120, **common)
+    assert (aroot / ".synthetic_ok").read_text() == stamp
+    # different params: everything regenerates consistently
+    generate_synthetic_dataset(froot, aroot, min_frames=40, max_frames=60, **common)
+    check_consistent()
+    for line in (aroot / "Anomaly_Test.txt").read_text().strip().split("\n"):
+        rel, start, end = line.split()[:3]
+        assert int(end) - int(start) + 1 <= 60

@@ -165,7 +165,7 @@ def test_console_script_shims_return_zero():
 def test_devices_auto_outside_sim_does_not_parse():
     """trainer.devices=auto is legal outside the dp_sim fan-out; the platform
     override pre-pass must not int() it."""
-    import train as train_entry
+    from anomalyclip_tpu import train_entry
 
     train_entry._apply_platform_overrides(["trainer=tpu", "trainer.devices=auto"])
 
@@ -175,7 +175,7 @@ def test_dp_sim_replaces_stale_device_count_flag(monkeypatch):
     REPLACED by the sim fan-out, not silently kept (a stale count either fans
     out the wrong mesh or re-execs forever); non-numeric devices values are
     tolerated (auto -> default, comma sweep -> max)."""
-    import train as train_entry
+    from anomalyclip_tpu import train_entry
 
     monkeypatch.setenv(
         "XLA_FLAGS", "--some_flag --xla_force_host_platform_device_count=1"

@@ -183,6 +183,9 @@ def test_model_parallel_knob_scores_identically(tmp_path):
     m2 = AnomalyCLIPTrainModule(cfg2)
     want = m1.test(ckpt_path=str(ckpt))
     got = m2.test(ckpt_path=str(ckpt))
+    # the TP route must actually have been taken: the TP encoder is a plain
+    # closure over the placed params, the fallback is a jit object (has .lower)
     assert m2._encode_frames_jit is not None
+    assert not hasattr(m2._encode_frames_jit, "lower"), "fell back to single-tower"
     for k in ("auc_roc", "auc_pr"):
         assert got[k] == pytest.approx(want[k], abs=1e-6), k

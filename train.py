@@ -4,12 +4,7 @@ contract. The implementation lives in the packaged module
 ``anomalyclip_tpu.train_entry`` (so installed environments never gain a
 top-level ``train`` module that could shadow other projects')."""
 
-from anomalyclip_tpu.train_entry import (  # noqa: F401
-    _apply_platform_overrides,
-    _expand_multirun,
-    cli,
-    main,
-)
+from anomalyclip_tpu.train_entry import cli, main  # noqa: F401
 
 if __name__ == "__main__":
     main()
