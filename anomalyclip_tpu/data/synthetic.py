@@ -45,17 +45,92 @@ def generate_synthetic_dataset(
         )
     )
     stamp = annotations_root / ".synthetic_ok"
-    if stamp.is_file() and not force and stamp.read_text().strip() == params:
-        return
-    # parameters changed (or first run): wipe both roots so nothing stale
-    # (old-length features, other-mode frame dirs, old stamps) survives
-    import shutil
+    # single-writer lock: concurrent processes sharing a root (parallel test
+    # jobs, multi-host module init) must not wipe each other's files mid-run
+    lock = annotations_root.parent / ".synthetic_lock"
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    _acquire_dir_lock(lock)
+    try:
+        if stamp.is_file() and not force and stamp.read_text().strip() == params:
+            return
+        # parameters changed (or first run): wipe both roots so nothing stale
+        # (old-length features, other-mode frame dirs) survives — but only
+        # when a stamp proves the generator owns the directory; never delete a
+        # directory holding data this generator did not write
+        import shutil
 
-    for root in (frames_root, annotations_root):
-        if root.exists():
-            shutil.rmtree(root)
-    frames_root.mkdir(parents=True, exist_ok=True)
-    annotations_root.mkdir(parents=True, exist_ok=True)
+        owned = stamp.is_file() or (annotations_root / ".synthetic_ok_frames").is_file()
+        for root in (frames_root, annotations_root):
+            if not root.exists():
+                continue
+            if owned:
+                shutil.rmtree(root)
+            elif any(root.iterdir()):
+                raise RuntimeError(
+                    f"refusing to generate synthetic data into non-empty, "
+                    f"non-generated directory {root} (no {stamp.name} stamp) — "
+                    "point frames_root/annotations_root at a fresh location"
+                )
+        frames_root.mkdir(parents=True, exist_ok=True)
+        annotations_root.mkdir(parents=True, exist_ok=True)
+        _generate(
+            frames_root, annotations_root, stamp, params,
+            num_normal, num_abnormal, num_test, num_classes, normal_id,
+            feature_dim, min_frames, max_frames, seed, make_frames, frame_size,
+        )
+    finally:
+        _release_dir_lock(lock)
+
+
+def _acquire_dir_lock(lock: Path, timeout: float = 120.0) -> None:
+    """Advisory mkdir-based lock (atomic on POSIX), with a staleness bound so a
+    killed generator cannot deadlock every later run."""
+    import os
+    import time
+
+    deadline = time.time() + timeout
+    while True:
+        try:
+            lock.mkdir()
+            return
+        except FileExistsError:
+            if time.time() > deadline:
+                raise TimeoutError(f"synthetic-data lock stuck: {lock}")
+            try:
+                if time.time() - lock.stat().st_mtime > timeout:
+                    os.rmdir(lock)  # stale holder died; break the lock
+                    continue
+            except OSError:
+                pass
+            time.sleep(0.1)
+
+
+def _release_dir_lock(lock: Path) -> None:
+    import os
+
+    try:
+        os.rmdir(lock)
+    except OSError:
+        pass
+
+
+def _generate(
+    frames_root: Path,
+    annotations_root: Path,
+    stamp: Path,
+    params: str,
+    num_normal: int,
+    num_abnormal: int,
+    num_test: int,
+    num_classes: int,
+    normal_id: int,
+    feature_dim: int,
+    min_frames: int,
+    max_frames: int,
+    seed: int,
+    make_frames: bool,
+    frame_size: int,
+) -> None:
     rng = np.random.default_rng(seed)
 
     abnormal_classes = [c for c in range(num_classes) if c != normal_id]

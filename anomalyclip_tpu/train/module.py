@@ -160,10 +160,12 @@ class AnomalyCLIPTrainModule:
 
     def _encode_jit(self):
         """The one jitted CLIP frame encoder, shared by the ncentroid pass and the
-        evaluator (one compile per model). ``trainer.model_parallel: N`` (with
-        >=N devices) routes it through the tensor-parallel tower instead —
-        batch over the data axis, weights Megatron-sharded over the model axis
-        (parallel/tp.py) — for towers that outgrow one chip."""
+        evaluator (one compile per model). ``trainer.model_parallel: N`` routes
+        it through the tensor-parallel tower — batch over the data axis,
+        weights Megatron-sharded over the model axis (parallel/tp.py) — when
+        _tp_unavailable_reason allows: at least N host-local devices, the
+        encode chunk divisible by the data-axis rows, and a ViT (not ResNet)
+        tower; any rejection logs its reason and falls back to one device."""
         if self._encode_frames_jit is None:
             mp = int(
                 self.cfg.get("trainer", ConfigNode()).get("model_parallel") or 1
@@ -183,15 +185,15 @@ class AnomalyCLIPTrainModule:
     def _tp_unavailable_reason(self, mp: int) -> Optional[str]:
         """Why trainer.model_parallel=mp cannot run here (None = it can).
         Local (addressable) devices only: the host feeds per-process numpy
-        chunks, so the TP mesh must be host-local even on multi-host runs."""
+        chunks, so the TP mesh must be host-local even on multi-host runs.
+        A non-dividing device count uses the largest dividing subset (the
+        remainder idles, logged by _tp_encode_fn)."""
         n = len(jax.local_devices())
-        if n < mp or n % mp != 0:
-            return f"{n} local device(s) do not divide into model_parallel={mp}"
-        from anomalyclip_tpu.models.anomaly_clip import AnomalyCLIP as _A
-
-        dp = n // mp
-        if _A.ENCODE_CHUNK % dp != 0:
-            return f"encode chunk {_A.ENCODE_CHUNK} not divisible by dp={dp}"
+        if n < mp:
+            return f"only {n} local device(s) for model_parallel={mp}"
+        dp = n // mp  # largest dividing subset: dp rows of mp devices
+        if AnomalyCLIP.ENCODE_CHUNK % dp != 0:
+            return f"encode chunk {AnomalyCLIP.ENCODE_CHUNK} not divisible by dp={dp}"
         if self.model.clip_cfg.is_resnet:
             # clip_tp_specs leaves ResNet towers replicated (no scan blocks to
             # shard) — a (dp, mp) mesh would just idle mp-1 replicas per batch
@@ -219,7 +221,14 @@ class AnomalyCLIPTrainModule:
         )
 
         devices = jax.local_devices()  # host-local mesh: the host feeds numpy
-        mesh = dp_mp_mesh(len(devices) // mp, mp, devices)
+        n_use = len(devices) // mp * mp
+        if n_use < len(devices):
+            log.warning(
+                f"model_parallel={mp}: using {n_use} of {len(devices)} local "
+                "devices (count does not divide evenly; remainder idles)"
+            )
+        devices = devices[:n_use]
+        mesh = dp_mp_mesh(n_use // mp, mp, devices)
         clip_cfg = self.model.clip_cfg
         clip = self.frozen["clip"]
         # head-aligned shard_map variant (exact-Megatron schedule) when the

@@ -177,8 +177,12 @@ def test_dp_sim_replaces_stale_device_count_flag(monkeypatch):
     tolerated (auto -> default, comma sweep -> max)."""
     from anomalyclip_tpu import train_entry
 
+    # a REAL innocuous flag: XLA fatals the whole process on unknown XLA_FLAGS
+    # at first backend init, so a made-up flag would abort pytest when this
+    # test runs first (order-dependent kill, no report)
     monkeypatch.setenv(
-        "XLA_FLAGS", "--some_flag --xla_force_host_platform_device_count=1"
+        "XLA_FLAGS",
+        "--xla_cpu_enable_fast_math=false --xla_force_host_platform_device_count=1",
     )
     # the test env already exposes >=4 cpu devices (conftest), so no re-exec
     train_entry._apply_platform_overrides(
@@ -187,7 +191,7 @@ def test_dp_sim_replaces_stale_device_count_flag(monkeypatch):
     import os
 
     flags = os.environ["XLA_FLAGS"]
-    assert "--some_flag" in flags
+    assert "--xla_cpu_enable_fast_math=false" in flags
     assert flags.count("xla_force_host_platform_device_count") == 1
     assert "xla_force_host_platform_device_count=4" in flags  # max of the sweep
 
