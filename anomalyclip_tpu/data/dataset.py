@@ -26,6 +26,18 @@ from anomalyclip_tpu.data.sampling import (
 )
 from anomalyclip_tpu.data.sources import FeatureSource, FrameSource
 
+_DECODE_POOL = None
+
+
+def _shared_decode_pool():
+    global _DECODE_POOL
+    if _DECODE_POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        _DECODE_POOL = ThreadPoolExecutor(max_workers=min(32, os.cpu_count() or 1))
+    return _DECODE_POOL
+
 
 class TestItem(NamedTuple):
     """One test video (feature_dataset.py:373-376)."""
@@ -69,23 +81,16 @@ class VideoDataset:
         self.temporal_annotations: Dict[str, List[int]] = (
             parse_temporal_annotations(temporal_annotation_file) if test_mode else {}
         )
-        self._decode_pool = None
-
     def _test_pool(self):
-        """Lazy per-dataset decode pool for the frames path: a test video is
-        thousands of JPEG decodes in one test_item call, and the test loader's
-        prefetch only pipelines whole items — without this the eval decodes
-        serially while predict/extract_features scale with cores."""
+        """Shared decode pool for the frames path: a test video is thousands of
+        JPEG decodes in one test_item call, and the test loader's prefetch only
+        pipelines whole items — without this the eval decodes serially while
+        predict/extract_features scale with cores. The pool is process-global
+        (one per process, lazily created) so multirun / hparams-search processes
+        that build many datamodules never accumulate idle per-dataset pools."""
         if not isinstance(self.source, FrameSource):
             return None
-        if self._decode_pool is None:
-            import os
-            from concurrent.futures import ThreadPoolExecutor
-
-            self._decode_pool = ThreadPoolExecutor(
-                max_workers=min(32, os.cpu_count() or 1)
-            )
-        return self._decode_pool
+        return _shared_decode_pool()
 
     def __len__(self) -> int:
         return len(self.records)

@@ -98,7 +98,23 @@ def _acquire_dir_lock(lock: Path, timeout: float = 120.0) -> None:
                 raise TimeoutError(f"synthetic-data lock stuck: {lock}")
             try:
                 if time.time() - lock.stat().st_mtime > timeout:
-                    os.rmdir(lock)  # stale holder died; break the lock
+                    # Stale holder died. Breaking the lock is racy between
+                    # multiple waiters (both can rmdir+mkdir interleaved), so
+                    # after a successful re-acquire we claim it with our pid
+                    # and only proceed if the claim survives a settle window —
+                    # the loser sees the other pid (or a fresh mtime) and waits.
+                    os.rmdir(lock)
+                    try:
+                        lock.mkdir()
+                    except FileExistsError:
+                        time.sleep(0.1)
+                        continue
+                    claim = lock / f"owner-{os.getpid()}"
+                    claim.touch()
+                    time.sleep(0.2)
+                    if claim.exists() and len(list(lock.iterdir())) == 1:
+                        return
+                    time.sleep(0.1)
                     continue
             except OSError:
                 pass
@@ -109,6 +125,8 @@ def _release_dir_lock(lock: Path) -> None:
     import os
 
     try:
+        for claim in lock.iterdir():  # owner-pid claim from a stale-lock break
+            claim.unlink(missing_ok=True)
         os.rmdir(lock)
     except OSError:
         pass

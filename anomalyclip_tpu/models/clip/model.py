@@ -14,8 +14,10 @@ src/models/components/clip/model.py:174-430) for TPU:
 - QuickGELU (``x * sigmoid(1.702 x)``) matches model.py:183-185 exactly — standard
   GELU silently degrades checkpoint parity.
 
-Only the ViT visual tower is implemented: every reference config uses ViT-B/16, and
-the ModifiedResNet tower is dead code there (SURVEY.md §2.1).
+Both visual towers are implemented: the ViT (used by every reference config,
+ViT-B/16) lives here, and the ModifiedResNet tower (reference model.py:10-171,
+config-reachable via RN50-style checkpoints) lives in ``resnet.py`` and is wired
+through ``encode_image`` below.
 """
 
 from __future__ import annotations

@@ -19,9 +19,10 @@ AxialImageTransformer, requirements.txt:31). Functional behavior reproduced here
 TPU-first differences from the torch package: the grid lives in NHWC ("b n l d")
 throughout — no channels-first permutes; both axial attentions are batched matmuls
 folding the orthogonal axis into batch; reversibility is kept as the *numeric
-coupling* (checkpoint compatibility) while memory is handled the XLA way with
-``jax.checkpoint`` instead of a custom reversible backward (the grid is 32x16 — the
-activation-memory motivation for RevNet does not exist on TPU at this size).
+coupling* only (checkpoint compatibility). No custom reversible backward — and no
+rematerialization — is needed: the grid is 32x16, so the activation-memory
+motivation for RevNet does not exist on TPU at this size and XLA's default
+autodiff storage is already cheap.
 
 At test time a variable-length video arrives as ``segment_size`` independent 32x16
 grids folded into the batch axis (temporal_model.py:45-53).

@@ -171,7 +171,13 @@ def shard_clip_params_aligned(params: Any, mesh: Mesh) -> Any:
     import jax.numpy as jnp
 
     mp = mesh.shape[MODEL_AXIS]
-    perm = _qkv_head_perm(params["visual"]["blocks"]["attn"]["qkv_w"].shape[1], mp)
+    width = params["visual"]["blocks"]["attn"]["qkv_w"].shape[1]
+    heads = width // 64  # CLIP ViT convention: head dim is always 64 (model.py)
+    if heads % mp or width % mp:
+        raise ValueError(
+            f"head-aligned TP needs mp | heads: width={width}, heads={heads}, mp={mp}"
+        )
+    perm = _qkv_head_perm(width, mp)
     params = dict(params)
     visual = dict(params["visual"])
     blocks = jax.tree_util.tree_map(lambda x: x, visual["blocks"])  # shallow copy
