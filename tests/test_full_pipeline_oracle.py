@@ -1,0 +1,277 @@
+"""Full-pipeline oracle parity: the reference's COMPLETE torch pipeline vs ours.
+
+Every numerical component already has an isolated torch-parity test; this module
+closes the composition gap by running the *reference's own composed code* —
+`src.models.components.anomaly_clip.AnomalyCLIP` with its real PromptLearner /
+TextEncoder / SelectorModel / TemporalModel submodules (anomaly_clip.py:18-233),
+the reference feature dataset (feature_dataset.py:124-383), the ncentroid
+bootstrap (anomaly_clip_module.py:147-170), and the test_step composition
+(anomaly_clip_module.py:459-498) — end-to-end on the same synthetic corpus and
+the same converted weights as the JAX pipeline, and asserting:
+
+  (a) training forward: the full 6-tuple, the updated BN statistics, and the
+      composed 7-term loss match (anomaly_clip.py:156-215, loss.py:51-195);
+  (b) test forward: per-video (similarity, scores) and the joint class_probs
+      match after padding trim (anomaly_clip.py:117-154);
+  (c) the eval epoch: identical concatenated score arrays and identical
+      detection metrics (AUC/AP/mAUC/mAP) on the same videos
+      (anomaly_clip_module.py:500-592).
+
+Weights flow reference -> JAX through the production converter
+(convert_ckpt.convert_lightning_checkpoint via module.load_state), so this also
+exercises the released-checkpoint path at full fidelity.
+
+The selector's segment-dropout is the single stochastic train-forward component
+(selector_model.py:101-117); both frameworks draw Bernoulli masks from their own
+RNGs, so the experiment overrides dropout to 0 (keep-prob 1 => deterministic
+all-keep masks on both sides). Everything else is exact math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from tests.helpers import full_oracle as fo  # noqa: E402
+from tests.helpers.reference_oracle import reference_available  # noqa: E402
+from tests.helpers.synthetic_run import synthetic_cfg  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not present"
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    """Shared setup: synthetic corpus + JAX module + reference net + converted
+    checkpoint, built once (the eval epoch alone is ~100 torch axial forwards)."""
+    tmp_path = tmp_path_factory.mktemp("full_oracle")
+    cfg = synthetic_cfg(
+        tmp_path,
+        "model.net.select_idx_dropout_topk=0.0",
+        "model.net.select_idx_dropout_bottomk=0.0",
+        "data.num_workers=0",
+    )
+
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    module = AnomalyCLIPTrainModule(cfg)  # generates the corpus on disk
+
+    # The reference net over the same config block (tiny CLIP = CLIPConfig.tiny()).
+    net_cfg = {
+        k: v
+        for k, v in dict(cfg.model.net).items()
+        if k not in ("clip_init", "clip_ckpt_path", "compute_dtype")
+    }
+    net = fo.build_reference_net(net_cfg, clip_seed=7)
+    # Non-trivial BN running stats so the eval-mode BN path is exercised for real
+    # (fresh stats are mean=0/var=1, which would hide axis mix-ups).
+    g = torch.Generator().manual_seed(11)
+    bn = net.selector_model.bn_layer
+    bn.running_mean.copy_(0.3 * torch.randn(bn.running_mean.shape, generator=g))
+    bn.running_var.copy_(0.5 + torch.rand(bn.running_var.shape, generator=g))
+
+    ckpt = fo.lightning_checkpoint_from_net(net, tmp_path / "oracle.ckpt")
+    state = module.load_state(str(ckpt))
+
+    _, feature_dataset_mod = fo.load_reference_pipeline()
+    return {
+        "cfg": cfg,
+        "module": module,
+        "state": state,
+        "net": net,
+        "feature_dataset_mod": feature_dataset_mod,
+        "data_cfg": dict(cfg.data),
+    }
+
+
+@pytest.fixture(scope="module")
+def ncentroids(pipeline):
+    """(reference ncentroid, ours) — the bootstrap pass on both sides."""
+    ref_ds = fo.reference_normal_test_mode_dataset(
+        pipeline["data_cfg"], pipeline["feature_dataset_mod"]
+    )
+    ref_nc = fo.reference_ncentroid(ref_ds, pipeline["net"].embedding_dim)
+    ours = pipeline["module"].compute_ncentroid()
+    return ref_nc, np.asarray(ours)
+
+
+def test_ncentroid_bootstrap_matches(ncentroids):
+    """Mean-of-unpadded-normal-frames parity (anomaly_clip_module.py:147-170)."""
+    ref_nc, ours = ncentroids
+    np.testing.assert_allclose(ours, ref_nc.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_train_forward_and_loss_match(pipeline, ncentroids):
+    """(a) full train forward: 6-tuple + BN update + composed loss
+    (anomaly_clip.py:156-215, selector_model.py:71-99, loss.py:51-195)."""
+    cfg = pipeline["cfg"]
+    module = pipeline["module"]
+    net = pipeline["net"]
+    ref_nc, _ = ncentroids
+    n = int(cfg.model.net.num_segments)
+    l = int(cfg.model.net.seg_length)
+    normal_id = int(cfg.data.normal_id)
+    d = net.embedding_dim
+    b = 8  # 4 abnormal + 4 normal (abnormal-first, anomaly_clip_module.py:177)
+
+    rng = np.random.default_rng(123)
+    feats = rng.standard_normal((b, 1, n * l, d)).astype(np.float32)
+    abn_classes = [c for c in range(int(cfg.data.num_classes)) if c != normal_id]
+    labels = np.array(
+        [abn_classes[i % len(abn_classes)] for i in range(b // 2)]
+        + [normal_id] * (b // 2),
+        dtype=np.int64,
+    )
+
+    # --- reference forward (train mode: BN uses batch stats and updates) ------
+    import copy
+
+    tnet = copy.deepcopy(net).train()
+    with torch.no_grad():
+        t_out = tnet(
+            torch.from_numpy(feats),
+            torch.from_numpy(labels),
+            ref_nc,
+        )
+    t_logits, t_logits_topk, t_scores, t_ita, t_itn, t_iba = t_out
+
+    # --- ours ----------------------------------------------------------------
+    state = pipeline["state"]
+    out, new_bn = module.model.forward_train(
+        module.frozen,
+        state.trainable,
+        state.bn_state,
+        jnp.asarray(feats[:, 0]),  # (b, t, d): crops dim squeezed (ncrops=1)
+        jnp.asarray(labels),
+        jnp.asarray(ref_nc.numpy()),
+        jax.random.PRNGKey(0),  # dropout=0 => key-independent
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(out.logits), t_logits.numpy(), rtol=1e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.logits_topk), t_logits_topk.numpy(), rtol=1e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.scores), t_scores.numpy(), rtol=1e-4, atol=2e-5
+    )
+    np.testing.assert_array_equal(np.asarray(out.idx_topk_abn), t_ita.numpy())
+    np.testing.assert_array_equal(np.asarray(out.idx_topk_nor), t_itn.numpy())
+    np.testing.assert_array_equal(np.asarray(out.idx_bottomk_abn), t_iba.numpy())
+
+    # BN running-stat update parity (train-mode batch stats, momentum 0.1)
+    tbn = tnet.selector_model.bn_layer
+    np.testing.assert_allclose(
+        np.asarray(new_bn.mean), tbn.running_mean.numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_bn.var), tbn.running_var.numpy(), rtol=1e-5, atol=1e-6
+    )
+
+    # --- composed loss on each side's own forward outputs ---------------------
+    from tests.helpers.reference_oracle import load_reference_loss
+
+    from anomalyclip_tpu.models.losses import compute_loss
+
+    ref_loss_mod = load_reference_loss()
+    loss_kwargs = {
+        k: v
+        for k, v in dict(cfg.model.loss).items()
+        if k
+        in (
+            "normal_id",
+            "num_topk",
+            "lambda_dir_abn",
+            "lambda_dir_nor",
+            "lambda_topk_abn",
+            "lambda_bottomk_abn",
+            "lambda_topk_nor",
+            "lambda_smooth",
+            "lambda_sparse",
+            "frames_per_segment",
+            "num_segments",
+        )
+    }
+    ref_terms = ref_loss_mod.ComputeLoss(**loss_kwargs)(
+        t_logits, t_logits_topk, torch.from_numpy(labels), t_scores, t_ita, t_itn, t_iba
+    )
+    terms = compute_loss(
+        out.logits,
+        out.logits_topk,
+        jnp.asarray(labels),
+        out.scores,
+        out.idx_topk_abn,
+        out.idx_topk_nor,
+        out.idx_bottomk_abn,
+        module.loss_cfg,
+    )
+    for ours_t, ref_t, name in zip(
+        terms,
+        ref_terms,
+        ("total", "ldir_abn", "ldir_nor", "ltopk_abn", "lbottomk_abn", "ltopk_nor",
+         "lsmooth", "lsparse"),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(ours_t), float(ref_t), rtol=2e-4, atol=1e-5, err_msg=name
+        )
+
+
+@pytest.fixture(scope="module")
+def eval_outputs(pipeline, ncentroids):
+    """Both eval epochs over the identical synthetic test set."""
+    ref_nc, our_nc = ncentroids
+    module = pipeline["module"]
+    ref_ds = fo.reference_test_dataset(
+        pipeline["data_cfg"], pipeline["feature_dataset_mod"]
+    )
+    ref = fo.reference_eval_epoch(pipeline["net"], ref_ds, ref_nc)
+
+    from anomalyclip_tpu.eval.evaluator import evaluate_videos
+
+    module.ncentroid = our_nc
+    scorer = module._scorer(pipeline["state"])
+    ours = evaluate_videos(
+        module.datamodule.test_dataloader(), scorer, module.model
+    )
+    return ref, ours
+
+
+def test_eval_epoch_outputs_match(eval_outputs):
+    """(b)+(c) concatenated per-frame outputs: scores, labels, joint class
+    probabilities (anomaly_clip_module.py:459-504)."""
+    ref, ours = eval_outputs
+    assert ours["abnormal_scores"].shape == ref["abnormal_scores"].shape
+    np.testing.assert_array_equal(ours["labels"], ref["labels"])
+    np.testing.assert_allclose(
+        ours["abnormal_scores"], ref["abnormal_scores"], rtol=1e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        ours["class_probs"], ref["class_probs"], rtol=1e-4, atol=2e-5
+    )
+
+
+def test_eval_epoch_metrics_match(eval_outputs, pipeline):
+    """(c) identical detection metrics from each side's own arrays
+    (anomaly_clip_module.py:500-592)."""
+    ref, ours = eval_outputs
+    from anomalyclip_tpu.eval.metrics import detection_metrics
+
+    normal_id = int(pipeline["cfg"].data.normal_id)
+    num_classes = int(pipeline["cfg"].data.num_classes)
+    det_ref = detection_metrics(
+        ref["abnormal_scores"], ref["labels"], ref["class_probs"],
+        normal_id, num_classes,
+    )
+    det_ours = detection_metrics(
+        ours["abnormal_scores"], ours["labels"], ours["class_probs"],
+        normal_id, num_classes,
+    )
+    for key in ("auc_roc", "auc_pr", "mean_mc_auroc", "mean_mc_aupr",
+                "optimal_threshold"):
+        assert det_ours[key] == pytest.approx(det_ref[key], abs=1e-4), key
