@@ -224,17 +224,33 @@ def multi_head_attention(
     """
     b, l, d = x.shape
     head_dim = d // num_heads
-    qkv = x @ attn["qkv_w"] + attn["qkv_b"]
 
     if _attention_impl() == "pallas":
-        from anomalyclip_tpu.ops.pallas.attention import fused_mha_qkv, mha_eligible
+        from anomalyclip_tpu.ops.pallas.attention import (
+            fused_mha_qkv,
+            fused_mha_qtile,
+            mha_eligible,
+            mha_qtile_eligible,
+        )
 
-        if mha_eligible(b, l, d, num_heads, qkv.dtype.itemsize):
+        itemsize = x.dtype.itemsize
+        if mha_eligible(b, l, d, num_heads, itemsize):
             # the packed (B, L, 3D) tensor feeds the kernel directly: q/k/v are
             # split as static lane slices in VMEM, never as separate HBM buffers
+            qkv = x @ attn["qkv_w"] + attn["qkv_b"]
             out = fused_mha_qkv(qkv, num_heads, causal)
             return out @ attn["out_w"] + attn["out_b"]
+        if not causal and mha_qtile_eligible(b, l, d, num_heads, itemsize):
+            # past the whole-block VMEM cap (ViT-L/14@336's L=577): the q-tiled
+            # kernel with resident K|V. q and packed k|v come from two slices of
+            # the fused projection — same FLOPs as one packed GEMM; the kernel
+            # needs them separate because they take different L-blocking.
+            q = x @ attn["qkv_w"][:, :d] + attn["qkv_b"][:d]
+            kv = x @ attn["qkv_w"][:, d:] + attn["qkv_b"][d:]
+            out = fused_mha_qtile(q, kv, num_heads)
+            return out @ attn["out_w"] + attn["out_b"]
 
+    qkv = x @ attn["qkv_w"] + attn["qkv_b"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def split_heads(t):

@@ -255,6 +255,118 @@ fused_mha_qkv.defvjp(_mha_qkv_fwd, _mha_qkv_bwd)
 
 
 # ---------------------------------------------------------------------------
+# q-tiled MHA with resident KV — long sequences (ViT-L/14@336's L=577)
+# ---------------------------------------------------------------------------
+#
+# The whole-block kernels above keep every (gb, L, ·) operand in VMEM at once,
+# which Mosaic hard-caps near L=448 at ViT-L widths (see mha_eligible). Past
+# that, instead of a full flash decomposition (running max/sum over KV blocks),
+# the sequence lengths in scope (≤ ~1.5k) admit a simpler exact scheme: tile
+# the *queries* over a second grid dimension and keep the whole K|V block
+# resident in VMEM across those steps. Each program computes complete softmax
+# rows (no rescaling passes), and the KV block is fetched from HBM once per
+# batch group — the (B, H, L, L) score tensor still never exists in HBM.
+# Measured at ViT-L/14@336 shape (B=32, L=577, D=1024, bf16) on v5e: 2.8 ms vs
+# 4.4 ms for the XLA formulation per layer (carry-chained; softmax + both
+# matmuls), and it lifts the whole tower off the XLA fallback path.
+#
+# The caller supplies q and the packed k|v as *separate* arrays (two GEMMs of
+# the same fused weight — same FLOPs) because one packed q|k|v input cannot be
+# block-specced two ways: q needs L-tiling, k|v needs full L.
+
+
+def _mha_qtile_kernel(q_ref, kv_ref, o_ref, *, num_heads: int, scale: float):
+    gb, lq, d = q_ref.shape
+    dh = d // num_heads
+    for h in range(num_heads):
+        q = q_ref[:, :, h * dh : (h + 1) * dh]
+        k = kv_ref[:, :, h * dh : (h + 1) * dh]
+        v = kv_ref[:, :, d + h * dh : d + (h + 1) * dh]
+        o_ref[:, :, h * dh : (h + 1) * dh] = _attend_head(q, k, v, scale, None, o_ref.dtype)
+
+
+_QTILE_LQ = 128  # empirically the best/fittest q-tile at L=577 (lq=256 OOMs)
+
+
+def _qtile_gb(b: int, l: int, d: int, itemsize: int) -> int:
+    """Batch group for the q-tiled kernel. Working set per program: the resident
+    (gb, L, 2D) k|v block plus (gb, lq, D) q/out blocks (each double-buffered)
+    and the fp32 (gb, lq, L) score/exp scratch for one head. The 6MB estimated
+    budget carries the measured ~1.6x scoped-VMEM margin (same calibration as
+    _pick_g): at ViT-L/14@336 shape gb=1 compiles and gb=2 hard-crashes Mosaic,
+    matching this bound."""
+    budget = 6 * 1024 * 1024
+    for g in (8, 4, 2, 1):
+        if b % g:
+            continue
+        blocks = 2 * g * (_QTILE_LQ * d + l * 2 * d) * itemsize
+        scratch = 2 * g * _QTILE_LQ * l * 4
+        if blocks + scratch <= budget:
+            return g
+    return 0
+
+
+def mha_qtile_eligible(b: int, l: int, d: int, num_heads: int, itemsize: int) -> bool:
+    """Static check for fused_mha_qtile: heads divide D and the resident-KV
+    working set fits VMEM. No sequence cap of its own — the whole-block kernel
+    (mha_eligible) is preferred below L=448; this covers the tail above it."""
+    return d % num_heads == 0 and _qtile_gb(b, l, d, itemsize) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _mha_qtile_impl(q, kv, num_heads: int, interpret: bool):
+    b, l, d = q.shape
+    dh = d // num_heads
+    gb = _qtile_gb(b, l, d, q.dtype.itemsize)
+    if interpret and gb == 0:
+        gb = 1  # interpret mode executes on CPU: no VMEM constraint to honor
+    assert gb > 0, f"shape (B={b}, L={l}, D={d}) does not fit the q-tiled kernel"
+    kern = functools.partial(
+        _mha_qtile_kernel, num_heads=num_heads, scale=1.0 / math.sqrt(dh)
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b // gb, pl.cdiv(l, _QTILE_LQ)),
+        in_specs=[
+            pl.BlockSpec((gb, _QTILE_LQ, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            # index_map constant in j: the K|V block stays resident across q tiles
+            pl.BlockSpec((gb, l, 2 * d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (gb, _QTILE_LQ, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, l, d), q.dtype),
+        interpret=interpret,
+    )(q, kv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_mha_qtile(q, kv, num_heads: int, interpret: bool = False):
+    """Exact attention over q (B, L, D) and packed k|v (B, L, 2D), queries tiled
+    over a grid with the K|V block resident in VMEM; softmax in fp32. For
+    sequences past the whole-block kernels' VMEM cap. Non-causal only (the only
+    long-L consumer is the vision tower; the causal text stack is L=77)."""
+    return _mha_qtile_impl(q, kv, num_heads, interpret)
+
+
+def _mha_qtile_fwd(q, kv, num_heads, interpret):
+    return _mha_qtile_impl(q, kv, num_heads, interpret), (q, kv)
+
+
+def _mha_qtile_bwd(num_heads, interpret, res, g):
+    q, kv = res
+    d = q.shape[-1]
+    _, vjp = jax.vjp(
+        lambda q_, kv_: _xla_mha_bld(q_, kv_[..., :d], kv_[..., d:], num_heads, False),
+        q, kv,
+    )
+    return vjp(g)
+
+
+fused_mha_qtile.defvjp(_mha_qtile_fwd, _mha_qtile_bwd)
+
+
+# ---------------------------------------------------------------------------
 # (B, H, L, Dh) per-head fused attention — for callers holding split heads
 # ---------------------------------------------------------------------------
 

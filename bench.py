@@ -65,8 +65,8 @@ def main() -> None:
     # batch sweeps on v5e (bf16): B/16 64->3339, 128->3817, 256->3958, 384->3984,
     # 512->3770 (knee 256; 384 within noise for 1.5x the activation memory);
     # B/32 256->12772, 512->12908, 1024->12946 (flat, use 512); L/14 64->893,
-    # 128->825, 256->775 (knee 64); L/14@336 16/32->235, 64->217 (knee 32,
-    # XLA attention path: its L=577 exceeds the fused kernel's validated cap).
+    # 128->825, 256->775 (knee 64); L/14@336 32->338, 64->325 (knee 32; L=577
+    # runs the q-tiled resident-KV kernel — was 239 on the XLA fallback).
     batch = args.batch or {"ViT-B/16": 256, "ViT-B/32": 512,
                            "ViT-L/14": 64, "ViT-L/14@336px": 32}[args.arch]
     inner_iters = 12

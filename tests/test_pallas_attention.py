@@ -129,6 +129,62 @@ def test_fused_mha_qkv_grad_matches_xla():
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "b,l,d,h",
+    [
+        (2, 577, 1024, 16),  # ViT-L/14@336 (partial final q tile: 577 = 4*128+65)
+        (2, 512, 256, 4),    # exact tiling
+        (4, 197, 768, 12),   # short-L sanity (same math as the whole-block path)
+    ],
+)
+def test_fused_mha_qtile_matches_reference_fp32(b, l, d, h):
+    """The q-tiled resident-KV kernel (long sequences) vs the reference."""
+    from anomalyclip_tpu.ops.pallas.attention import (
+        fused_mha_qtile,
+        mha_qtile_eligible,
+    )
+
+    # the hardware path runs bf16; fp32 here is for interpret-mode exactness
+    assert mha_qtile_eligible(b, l, d, h, 2)
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((b, l, 2 * d)), jnp.float32)
+    want = np.asarray(_reference_mha_bld(q, kv[..., :d], kv[..., d:], h, causal=False))
+    got = np.asarray(fused_mha_qtile(q, kv, h, True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_mha_qtile_grad_matches_xla():
+    from anomalyclip_tpu.ops.pallas.attention import fused_mha_qtile
+
+    rng = np.random.default_rng(10)
+    b, l, d, h = 2, 16, 32, 4
+    q = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((b, l, 2 * d)), jnp.float32)
+
+    def loss_fused(q, kv):
+        return jnp.sum(fused_mha_qtile(q, kv, h, True) ** 2)
+
+    def loss_ref(q, kv):
+        return jnp.sum(_reference_mha_bld(q, kv[..., :d], kv[..., d:], h, False) ** 2)
+
+    gq, gkv = jax.grad(loss_fused, argnums=(0, 1))(q, kv)
+    rq, rkv = jax.grad(loss_ref, argnums=(0, 1))(q, kv)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gkv), np.asarray(rkv), rtol=1e-4, atol=1e-4)
+
+
+def test_qtile_eligibility_covers_the_long_tail():
+    """Shapes past the whole-block cap route to the q-tiled kernel; shapes whose
+    resident KV cannot fit VMEM still fall back to XLA."""
+    from anomalyclip_tpu.ops.pallas.attention import mha_qtile_eligible
+
+    assert mha_qtile_eligible(32, 577, 1024, 16, 2)  # ViT-L/14@336 bf16
+    assert mha_qtile_eligible(32, 1024, 512, 8, 2)  # longer L at smaller width
+    assert not mha_qtile_eligible(32, 1024, 1024, 16, 2)  # resident KV > budget
+    assert not mha_qtile_eligible(32, 577, 1000, 16, 2)  # heads don't divide D
+
+
 def test_mha_eligibility_rejects_long_sequences():
     """The Mosaic compile hard-crashes at L>=512 (ViT-L/14@336's L=577 hits it);
     the static check must route those shapes to the XLA formulation."""
