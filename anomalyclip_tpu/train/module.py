@@ -130,6 +130,12 @@ class AnomalyCLIPTrainModule:
         # --- model ---------------------------------------------------------
         self.net_cfg = _net_config(net_cfg_dict)
         self.model, self.frozen = AnomalyCLIP.build(self.net_cfg, clip_params, clip_cfg)
+        # frozen params live on the HOST (numpy); device placement is explicit
+        # and path-aware (_frozen_on_device / replicate / TP sharding), so a
+        # tensor-parallel tower is streamed straight into its sharded placement
+        # and device 0 never materializes the full unsharded copy
+        self.frozen = jax.tree_util.tree_map(np.asarray, self.frozen)
+        self._frozen_dev = None  # memoized single-device placement (DP paths)
         self.loss_cfg = LossConfig(
             **{
                 k: v
@@ -179,8 +185,26 @@ class AnomalyCLIPTrainModule:
                         f"trainer.model_parallel={mp} requested but {reason} — "
                         "encoding on the single-device tower instead"
                     )
-                self._encode_frames_jit = jax.jit(self.model.encode_frames)
+                enc = jax.jit(self.model.encode_frames)
+
+                def fn(_frozen, frames, _enc=enc):
+                    # substitute the memoized device copy: self.frozen is host
+                    # numpy, and re-transferring the tower per chunk would turn
+                    # every encode into a host->device copy of the weights
+                    return _enc(self._frozen_on_device(), frames)
+
+                fn._tp = False
+                self._encode_frames_jit = fn
         return self._encode_frames_jit
+
+    def _frozen_on_device(self):
+        """Single-device placement of the frozen params, materialized lazily and
+        once. TP encode never calls this — its tower is device_put shard-by-shard
+        in _tp_encode_fn, which is what keeps a bigger-than-one-chip tower
+        servable: no device ever holds the full unsharded copy."""
+        if self._frozen_dev is None:
+            self._frozen_dev = jax.tree_util.tree_map(jnp.asarray, self.frozen)
+        return self._frozen_dev
 
     def _tp_unavailable_reason(self, mp: int) -> Optional[str]:
         """Why trainer.model_parallel=mp cannot run here (None = it can).
@@ -206,12 +230,12 @@ class AnomalyCLIPTrainModule:
         ignored (the builder is invalidated whenever self.frozen is swapped —
         load_state sets _encode_frames_jit back to None).
 
-        Known limitation: ``self.frozen`` keeps the unsharded tower resident
-        (the training path and text tower share it), so model_parallel reduces
-        encode latency/compute per chip but not device 0's peak weight
-        footprint; serving a tower strictly larger than one chip needs a
-        load-directly-into-placement path the checkpoint loader doesn't have
-        yet."""
+        Capacity, not just latency: ``self.frozen`` is host numpy, and each
+        leaf is device_put directly into its NamedSharding placement — every
+        device receives only its 1/mp shard of the sharded weights, and no
+        device ever materializes the full unsharded tower (asserted by
+        tests/test_tensor_parallel.py::test_tp_capacity_no_full_tower_per_device).
+        The placed tree is kept on ``self._tp_placed`` for introspection."""
         from anomalyclip_tpu.parallel.tp import (
             dp_mp_mesh,
             shard_clip_params,
@@ -230,7 +254,9 @@ class AnomalyCLIPTrainModule:
         devices = devices[:n_use]
         mesh = dp_mp_mesh(n_use // mp, mp, devices)
         clip_cfg = self.model.clip_cfg
-        clip = self.frozen["clip"]
+        # host numpy by construction (__init__/load_state keep frozen on host);
+        # np.asarray also covers a caller that swapped in device arrays
+        clip = jax.tree_util.tree_map(np.asarray, self.frozen["clip"])
         # head-aligned shard_map variant (exact-Megatron schedule) when the
         # head count allows; GSPMD-automatic specs otherwise (ResNet towers
         # never reach here — _tp_unavailable_reason routes them to DP)
@@ -241,10 +267,12 @@ class AnomalyCLIPTrainModule:
             placed = shard_clip_params(clip, mesh)
             enc = tp_encode_images(clip_cfg, mesh, self.model.cfg.dtype)
         log.info(f"TP encode: mesh {dict(mesh.shape)} over {devices[0].platform}")
+        self._tp_placed = placed
 
         def fn(_frozen, frames):
             return enc(placed, frames)
 
+        fn._tp = True
         return fn
 
     def _frame_features(self, features: np.ndarray) -> np.ndarray:
@@ -689,7 +717,10 @@ class AnomalyCLIPTrainModule:
             )
             self._encode_frames_jit = None  # stale jit for the old model
             self._scorer_cache = None  # and stale scorer executables
-            self.frozen = jax.tree_util.tree_map(jnp.asarray, frozen)
+            self._frozen_dev = None  # and the stale single-device placement
+            # host-resident: device placement stays explicit and path-aware so
+            # the TP path can stream shards without a full copy on device 0
+            self.frozen = jax.tree_util.tree_map(np.asarray, frozen)
             return TrainState(
                 trainable=jax.tree_util.tree_map(jnp.asarray, trainable),
                 opt_state=None,

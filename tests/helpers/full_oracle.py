@@ -123,13 +123,21 @@ def load_reference_pipeline():
     _install_torchvision_stub()
     _install_pkg_resources_stub()
 
-    src = types.ModuleType("src")
+    # tests/test_data.py installs its own pathless "src" stub for the isolated
+    # feature-dataset oracle; upgrade whatever is present into a package rooted
+    # at the reference checkout instead of fighting over the name
+    src = sys.modules.get("src")
+    if src is None:
+        src = types.ModuleType("src")
+        sys.modules["src"] = src
     src.__path__ = [str(REFERENCE_ROOT / "src")]
-    sys.modules.setdefault("src", src)
-    utils = types.ModuleType("src.utils")
-    utils.get_pylogger = logging.getLogger
-    sys.modules.setdefault("src.utils", utils)
-    src.utils = sys.modules["src.utils"]
+    utils = sys.modules.get("src.utils")
+    if utils is None:
+        utils = types.ModuleType("src.utils")
+        sys.modules["src.utils"] = utils
+    if not hasattr(utils, "get_pylogger"):
+        utils.get_pylogger = logging.getLogger
+    src.utils = utils
 
     anomaly_clip = importlib.import_module("src.models.components.anomaly_clip")
     feature_dataset = importlib.import_module("src.data.components.feature_dataset")

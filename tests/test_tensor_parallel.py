@@ -153,6 +153,64 @@ def test_aligned_tp_schedule_has_no_resharding(four_head):
     assert "all-reduce" in hlo  # the two per-block psums survive compilation
 
 
+def test_tp_capacity_no_full_tower_per_device(tmp_path):
+    """model_parallel delivers *capacity*, not just latency: the checkpoint is
+    streamed straight into its sharded placement, so during TP encode no device
+    holds the full unsharded visual tower — frozen params stay host numpy, the
+    single-device placement is never materialized, and every sharded weight's
+    per-device shard is 1/mp of the full leaf. Eval keeps working against the
+    host-resident copy (train/module.py:_tp_encode_fn)."""
+    import jax.numpy as jnp
+
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+    from tests.helpers.synthetic_run import synthetic_cfg
+
+    cfg = synthetic_cfg(
+        tmp_path,
+        "data.load_from_features=False",
+        "data.input_size=32",
+        "data.fast_decode=True",
+        "data.synthetic_min_frames=120",
+        "data.synthetic_max_frames=160",
+        "data.synthetic_num_test=1",
+        "data.num_workers=0",
+        "trainer.model_parallel=4",
+    )
+    m = AnomalyCLIPTrainModule(cfg)
+    fn = m._encode_jit()
+    assert getattr(fn, "_tp", False), "TP route not taken"
+
+    # drive the TP encoder for real (also exercises the chunked-encode path)
+    frames = np.zeros((8, 32, 32, 3), np.float32)
+    feats = fn(m.frozen, jnp.asarray(frames))
+    assert np.asarray(feats).shape == (8, m.model.clip_cfg.embed_dim)
+
+    # the unsharded tower never reached a device
+    assert m._frozen_dev is None
+    for leaf in jax.tree_util.tree_leaves(m.frozen):
+        assert isinstance(leaf, np.ndarray), type(leaf)
+
+    # every sharded leaf of the placed tree holds 1/mp per device
+    placed_qkv = m._tp_placed["visual"]["blocks"]["attn"]["qkv_w"]
+    full_bytes = placed_qkv.nbytes
+    shard_bytes = {s.data.nbytes for s in placed_qkv.addressable_shards}
+    assert shard_bytes == {full_bytes // 4}
+
+    # eval composes against the host copy: text features + grid scoring work
+    trainable, bn_state = m.model.init_trainable(jax.random.PRNGKey(0), m.frozen)
+    from anomalyclip_tpu.eval.evaluator import GridScorer
+
+    scorer = GridScorer(m.model, encode_jit=fn)
+    scorer.update(m.frozen, trainable, bn_state, np.zeros(m.model.embedding_dim))
+    n, l = m.net_cfg.num_segments, m.net_cfg.seg_length
+    grids = np.random.default_rng(0).standard_normal(
+        (1, n, l, m.model.embedding_dim)
+    ).astype(np.float32)
+    sim, scores = scorer.score_grids(grids)
+    assert sim.shape == (n * l, m.datamodule.num_classes - 1)
+    assert scores.shape == (n * l,)
+
+
 @pytest.mark.slow
 def test_model_parallel_knob_scores_identically(tmp_path):
     """trainer.model_parallel=2 routes the module's frame encoder through the
@@ -183,9 +241,9 @@ def test_model_parallel_knob_scores_identically(tmp_path):
     m2 = AnomalyCLIPTrainModule(cfg2)
     want = m1.test(ckpt_path=str(ckpt))
     got = m2.test(ckpt_path=str(ckpt))
-    # the TP route must actually have been taken: the TP encoder is a plain
-    # closure over the placed params, the fallback is a jit object (has .lower)
+    # the TP route must actually have been taken (both routes are wrappers now;
+    # _tp_encode_fn tags its closure)
     assert m2._encode_frames_jit is not None
-    assert not hasattr(m2._encode_frames_jit, "lower"), "fell back to single-tower"
+    assert getattr(m2._encode_frames_jit, "_tp", False), "fell back to single-tower"
     for k in ("auc_roc", "auc_pr"):
         assert got[k] == pytest.approx(want[k], abs=1e-6), k
