@@ -22,6 +22,7 @@ from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Params = Dict[str, Any]
 
@@ -122,14 +123,22 @@ def init_resnet_params(key: jax.Array, cfg) -> Params:
     pytree, convert.py:_resnet_visual_params) — tests/bench only; real runs load
     converted RN checkpoints. BN stats init to eval-mode identity (mean 0, var 1);
     weights follow the reference's attnpool std = embed_dim**-0.5
-    (model.py:336-356) and simple fan-in scaling for convs."""
+    (model.py:336-356) and simple fan-in scaling for convs.
+
+    Draws come from a numpy Generator seeded from the key: RN50 needs ~55
+    distinct-shaped tensors, and one jax.random dispatch per tensor costs a
+    separate XLA:CPU compile each (~22 s just to *init* on a 1-core host); the
+    consumers are tests/bench, where numpy's determinism-per-seed is all that
+    is required."""
     width = cfg.vision_width
     embed_dim = width * 32
-    keys = iter(jax.random.split(key, 256))
+    rng = np.random.default_rng(np.asarray(jax.random.key_data(key)).ravel())
+
+    def normal(std, shape):
+        return jnp.asarray(std * rng.standard_normal(shape), dtype=jnp.float32)
 
     def conv(cin, cout, k):
-        std = (cin * k * k) ** -0.5
-        return std * jax.random.normal(next(keys), (k, k, cin, cout), dtype=jnp.float32)
+        return normal((cin * k * k) ** -0.5, (k, k, cin, cout))
 
     def bn(c):
         return {
@@ -174,15 +183,14 @@ def init_resnet_params(key: jax.Array, cfg) -> Params:
     spacial = cfg.image_resolution // 32
     pstd = embed_dim**-0.5
     visual["attnpool"] = {
-        "positional_embedding": pstd
-        * jax.random.normal(next(keys), (spacial**2 + 1, embed_dim), dtype=jnp.float32),
-        "q_w": pstd * jax.random.normal(next(keys), (embed_dim, embed_dim)),
+        "positional_embedding": normal(pstd, (spacial**2 + 1, embed_dim)),
+        "q_w": normal(pstd, (embed_dim, embed_dim)),
         "q_b": jnp.zeros((embed_dim,)),
-        "k_w": pstd * jax.random.normal(next(keys), (embed_dim, embed_dim)),
+        "k_w": normal(pstd, (embed_dim, embed_dim)),
         "k_b": jnp.zeros((embed_dim,)),
-        "v_w": pstd * jax.random.normal(next(keys), (embed_dim, embed_dim)),
+        "v_w": normal(pstd, (embed_dim, embed_dim)),
         "v_b": jnp.zeros((embed_dim,)),
-        "c_w": pstd * jax.random.normal(next(keys), (embed_dim, cfg.embed_dim)),
+        "c_w": normal(pstd, (embed_dim, cfg.embed_dim)),
         "c_b": jnp.zeros((cfg.embed_dim,)),
     }
     return visual
