@@ -71,3 +71,24 @@ def gather_frame_indices(
     (feature_dataset.py:359-364): index = (start + i*stride) % modulo."""
     offsets = np.arange(frames_per_segment) * stride
     return ((start_indices[:, None] + offsets[None, :]) % modulo).reshape(-1)
+
+
+def process_feat(feat: np.ndarray, length: int) -> np.ndarray:
+    """Mean-pooling feature resampler to a fixed ``length``
+    (feature_dataset.py:30-39): split the frame axis into ``length``
+    near-equal ranges and average each (ranges can be empty when
+    len(feat) < length, in which case the boundary frame is copied).
+    Vectorized with np.add.reduceat instead of the reference's Python loop."""
+    t = len(feat)
+    r = np.linspace(0, t, length + 1, dtype=np.int64)
+    counts = r[1:] - r[:-1]
+    out = np.empty((length, feat.shape[1]), dtype=np.float32)
+    nonempty = counts > 0
+    if nonempty.any():
+        # reduceat over only the nonempty starts: zero-width ranges between two
+        # nonempty ones collapse, so each selected segment sums exactly
+        # feat[r[i] : r[i] + counts[i]]
+        sums = np.add.reduceat(feat.astype(np.float32), r[:-1][nonempty], axis=0)
+        out[nonempty] = sums / counts[nonempty][:, None]
+    out[~nonempty] = feat[np.minimum(r[:-1][~nonempty], t - 1)]
+    return out

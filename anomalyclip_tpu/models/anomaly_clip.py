@@ -89,6 +89,9 @@ class AnomalyCLIPConfig:
     n_ctx: int = 8
     shared_context: bool = False
     ctx_init: str = ""
+    # "end" (every reference config; coop.py:82-90) | "middle" | "front"
+    # (coop.py:92-133) — position of the classname tokens inside the prompt
+    class_token_position: str = "end"
     compute_dtype: str = "float32"
 
     @property
@@ -169,6 +172,7 @@ class AnomalyCLIP:
             n_ctx=cfg.n_ctx,
             shared_context=cfg.shared_context,
             ctx_init=cfg.ctx_init,
+            class_token_position=cfg.class_token_position,
         )
         model = AnomalyCLIP(cfg, clip_cfg, classnames, spec)
         frozen = {"clip": clip_params}

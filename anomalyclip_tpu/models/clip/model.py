@@ -395,7 +395,8 @@ def encode_text(
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """Text forward from token ids: (N, 77) int32 -> (N, embed_dim)
-    (model.py:401-414)."""
+    (model.py:401-414; identical math to the reference's TextEncoderZeroshot,
+    text_encoder.py:28-50 — parity pinned in tests/test_full_pipeline_oracle.py)."""
     embeddings = params["text"]["token_embedding"][tokens]
     eot_indices = jnp.argmax(tokens, axis=-1)
     return text_transformer_on_embeddings(

@@ -9,9 +9,12 @@ time into a static :class:`PromptSpec`; the only trainable tensor is ``ctx``:
   (n_cls, n_ctx, dim), random-normal init std 0.02 (coop.py:42-43)
 - shared (``shared_context=True``): (n_ctx, dim), broadcast over classes at apply
 
-Assembly is a static concatenation [prefix, ctx, suffix] along the token axis
-(class_token_position="end", coop.py:82-90 — the only position the reference uses;
-"middle"/"front" are dead branches there and are intentionally not carried over).
+Assembly is a static concatenation [prefix, ctx, suffix] along the token axis for
+class_token_position="end" (coop.py:82-90, what every reference config runs). The
+"middle"/"front" variants (coop.py:92-133) are carried too, the TPU way: instead
+of the reference's per-class Python loop of concats over per-class name lengths,
+each variant is a *static per-class row permutation* of the "end" layout,
+precomputed at spec-build time and applied as one batched gather.
 """
 
 from __future__ import annotations
@@ -41,10 +44,41 @@ class PromptSpec:
     n_ctx: int
     ctx_dim: int
     shared_context: bool
+    # "end" | "middle" | "front" (coop.py:82-133); non-"end" variants carry a
+    # (n_cls, 77) static row permutation of the "end" layout
+    class_token_position: str = "end"
+    position_perm: Optional[np.ndarray] = None
+    name_lens: Optional[np.ndarray] = None  # (n_cls,) classname token counts
 
     @property
     def eot_indices(self) -> np.ndarray:
         return self.tokenized_prompts.argmax(axis=-1)
+
+
+def _position_perm(
+    position: str, n_ctx: int, name_lens: np.ndarray, context_length: int
+) -> Optional[np.ndarray]:
+    """(n_cls, 77) row permutation turning the "end"-layout prompt
+    [SOS, ctx×n_ctx, suffix…] into the "middle"/"front" orderings
+    (coop.py:92-133). The EOT index is invariant — only rows before the "."
+    token move — so the tokenized-prompt argmax gather stays correct."""
+    if position == "end":
+        return None
+    perms = []
+    for name_len in np.asarray(name_lens, dtype=np.int64):
+        sos = [0]
+        ctx_rows = list(range(1, 1 + n_ctx))
+        cls_rows = list(range(1 + n_ctx, 1 + n_ctx + name_len))
+        rest = list(range(1 + n_ctx + name_len, context_length))
+        if position == "middle":
+            half = n_ctx // 2
+            order = sos + ctx_rows[:half] + cls_rows + ctx_rows[half:] + rest
+        elif position == "front":
+            order = sos + cls_rows + ctx_rows + rest
+        else:
+            raise ValueError(f"unknown class_token_position {position!r}")
+        perms.append(order)
+    return np.asarray(perms, dtype=np.int32)
 
 
 def build_prompt_spec(
@@ -54,6 +88,7 @@ def build_prompt_spec(
     shared_context: bool = False,
     ctx_init: str = "",
     tokenizer: Optional[ClipTokenizer] = None,
+    class_token_position: str = "end",
 ) -> PromptSpec:
     """Tokenize "X ... X <classname>." prompts and slice out the frozen embeddings
     (coop.py:51-66)."""
@@ -68,6 +103,10 @@ def build_prompt_spec(
     classnames = [name.replace("_", " ") for name in classnames]
     prompts = [f"{prompt_prefix} {name}." for name in classnames]
     tokenized = tokenize(prompts, tokenizer=tokenizer)  # (n_cls, 77) int32
+    from anomalyclip_tpu.models.clip.tokenizer import _get_default_tokenizer
+
+    tok = tokenizer or _get_default_tokenizer()
+    name_lens = np.asarray([len(tok.encode(name)) for name in classnames], np.int32)
 
     embedding = np.asarray(token_embedding)[tokenized]  # (n_cls, 77, dim)
     return PromptSpec(
@@ -78,6 +117,11 @@ def build_prompt_spec(
         n_ctx=n_ctx,
         ctx_dim=embedding.shape[-1],
         shared_context=shared_context,
+        class_token_position=class_token_position,
+        position_perm=_position_perm(
+            class_token_position, n_ctx, name_lens, tokenized.shape[1]
+        ),
+        name_lens=name_lens,
     )
 
 
@@ -105,9 +149,15 @@ def init_prompt_params(
 
 
 def assemble_prompts(ctx: jnp.ndarray, spec: PromptSpec) -> jnp.ndarray:
-    """[prefix, ctx, suffix] -> (n_cls, 77, dim) prompt embeddings (coop.py:74-90)."""
+    """[prefix, ctx, suffix] -> (n_cls, 77, dim) prompt embeddings (coop.py:74-90);
+    "middle"/"front" orderings (coop.py:92-133) apply the spec's precomputed
+    per-class row permutation as one batched gather — no per-class loop."""
     if ctx.ndim == 2:
         ctx = jnp.broadcast_to(ctx[None], (spec.n_cls, spec.n_ctx, spec.ctx_dim))
     prefix = jnp.asarray(spec.token_prefix, dtype=ctx.dtype)
     suffix = jnp.asarray(spec.token_suffix, dtype=ctx.dtype)
-    return jnp.concatenate([prefix, ctx, suffix], axis=1)
+    prompts = jnp.concatenate([prefix, ctx, suffix], axis=1)
+    if spec.position_perm is not None:
+        perm = jnp.asarray(spec.position_perm)  # (n_cls, 77)
+        prompts = jnp.take_along_axis(prompts, perm[:, :, None], axis=1)
+    return prompts

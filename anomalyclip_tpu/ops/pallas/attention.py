@@ -367,6 +367,124 @@ fused_mha_qtile.defvjp(_mha_qtile_fwd, _mha_qtile_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Flash attention (KV-blocked, online softmax) — unbounded sequence length
+# ---------------------------------------------------------------------------
+#
+# Above the q-tiled kernel's resident-KV envelope (L ≳ 700 at D=1024) the KV
+# block itself no longer fits VMEM, so both block dimensions must tile: the
+# classic flash decomposition with a running (max, sum, accumulator) triple
+# updated per KV block. Per-head layout (BH, L, dh) — at these lengths the
+# one-off head-split transposes are noise next to the O(L²) score traffic the
+# kernel avoids. Grid is (BH/g, n_q, n_kv) with KV innermost: the q block and
+# the scratch stay resident across the KV sweep, and the output block is
+# written once at the final KV step.
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, s_ref, *, scale: float, seq_len: int
+):
+    g, lq, dh = q_ref.shape
+    lkv = k_ref.shape[1]
+    k_step = pl.program_id(2)
+
+    @pl.when(k_step == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    s_blk = jax.lax.dot_general(
+        q_ref[...], k_ref[...], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (g, lq, lkv)
+    # mask the final partial KV block: padded key rows must not enter softmax
+    col = k_step * lkv + jax.lax.broadcasted_iota(jnp.int32, (g, lq, lkv), 2)
+    s_blk = jnp.where(col < seq_len, s_blk, NEG_INF)
+
+    m_old = m_ref[:, :, :1]
+    m_new = jnp.maximum(m_old, jnp.max(s_blk, axis=2, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.exp(s_blk - m_new)
+    # zero padded V rows too: p is 0 there, but 0 * garbage (NaN/inf padding)
+    # would still poison the contraction
+    vrow = k_step * lkv + jax.lax.broadcasted_iota(jnp.int32, v_ref.shape, 1)
+    v_blk = jnp.where(vrow < seq_len, v_ref[...], 0).astype(v_ref.dtype)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_blk, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    s_ref[:, :, :1] = s_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
+    m_ref[:, :, :1] = m_new
+
+    @pl.when(k_step == pl.num_programs(2) - 1)
+    def _finish():
+        o_ref[...] = (acc_ref[...] / s_ref[:, :, :1]).astype(o_ref.dtype)
+
+
+_FLASH_LQ = 256
+_FLASH_LKV = 512
+
+
+def flash_eligible(n: int, l: int, dh: int, itemsize: int) -> bool:
+    """Static check for flash_attention_heads: practical envelope is any L —
+    per-program VMEM is O(lq·lkv + lq·dh), independent of L."""
+    return dh <= 256 and l >= 2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _flash_impl(q, k, v, interpret: bool):
+    n, l, dh = q.shape
+    g = 1
+    lq, lkv = min(_FLASH_LQ, l), min(_FLASH_LKV, l)
+    kern = functools.partial(_flash_kernel, scale=1.0 / math.sqrt(dh), seq_len=l)
+    return pl.pallas_call(
+        kern,
+        grid=(n // g, pl.cdiv(l, lq), pl.cdiv(l, lkv)),
+        in_specs=[
+            pl.BlockSpec((g, lq, dh), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, lkv, dh), lambda i, j, k: (i, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, lkv, dh), lambda i, j, k: (i, k, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (g, lq, dh), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, l, dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g, lq, dh), jnp.float32),   # acc
+            pltpu.VMEM((g, lq, 128), jnp.float32),  # running max (lane 0)
+            pltpu.VMEM((g, lq, 128), jnp.float32),  # running sum (lane 0)
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_heads(q, k, v, interpret: bool = False):
+    """Exact attention over per-head (BH, L, dh) operands with KV-blocked online
+    softmax — no sequence-length cap (VMEM use is independent of L). Non-causal
+    (the only long-L consumer is the vision tower). Backward recomputes via the
+    XLA formulation, like every kernel in this module."""
+    return _flash_impl(q, k, v, interpret)
+
+
+def _flash_fwd(q, k, v, interpret):
+    return _flash_impl(q, k, v, interpret), (q, k, v)
+
+
+def _flash_bwd(interpret, res, g):
+    q, k, v = res
+
+    def ref_fn(q_, k_, v_):
+        return _xla_attention(q_[:, None], k_[:, None], v_[:, None], False)[:, 0]
+
+    _, vjp = jax.vjp(ref_fn, q, k, v)
+    return vjp(g)
+
+
+flash_attention_heads.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ---------------------------------------------------------------------------
 # (B, H, L, Dh) per-head fused attention — for callers holding split heads
 # ---------------------------------------------------------------------------
 
@@ -404,11 +522,19 @@ def _fused_attention_impl(q, k, v, causal: bool, interpret: bool):
     n = b * h
     g = _pick_g(n, l, dh, q.dtype.itemsize)
     if g < 4:
-        # shape outside the kernel's efficient envelope: g<4 means either VMEM
-        # wouldn't fit at all (g=0) or the grid degenerates into thousands of
-        # under-sized serialized programs (measured: L=577 at g=1 is orders of
-        # magnitude slower than XLA). The XLA formulation is the same math
-        # (softmax in fp32), just with HBM-resident scores.
+        # shape outside the whole-block kernel's efficient envelope: g<4 means
+        # either VMEM wouldn't fit at all (g=0) or the grid degenerates into
+        # thousands of under-sized serialized programs (measured: L=577 at g=1
+        # is orders of magnitude slower than XLA). Long non-causal sequences
+        # take the KV-blocked flash kernel (VMEM use independent of L); causal
+        # or tiny shapes take the XLA formulation — same math, fp32 softmax.
+        if not causal and flash_eligible(b * h, l, dh, q.dtype.itemsize):
+            return flash_attention_heads(
+                q.reshape(b * h, l, dh),
+                k.reshape(b * h, l, dh),
+                v.reshape(b * h, l, dh),
+                interpret,
+            ).reshape(b, h, l, dh)
         return _xla_attention(q, k, v, causal)
     qf, kf, vf = (t.reshape(n, l, dh) for t in (q, k, v))
     kernel = functools.partial(_attn_kernel, scale=1.0 / math.sqrt(dh), causal=causal)

@@ -195,6 +195,7 @@ def _hparams_search(argv) -> dict:
             return int(rng.integers(int(spec["low"]), int(spec["high"]) + 1))
         raise ValueError(f"unknown space type {kind!r} for hparams_search")
 
+    n_trials = int(hs.get("n_trials", 8))
     if sampler == "grid":
         axes = []
         for key, spec in space.items():
@@ -203,15 +204,35 @@ def _hparams_search(argv) -> dict:
                 raise ValueError(f"grid sampler needs explicit values for {key}")
             axes.append([(key, v) for v in values])
         trials = [dict(combo) for combo in itertools.product(*axes)]
-    else:
+        n_trials = len(trials)
+    elif sampler == "tpe":
+        trials = None  # adaptive: sampled per-trial from the history below
+    elif sampler == "random":
         trials = [
             {key: sample_random(spec) for key, spec in space.items()}
-            for _ in range(int(hs.get("n_trials", 8)))
+            for _ in range(n_trials)
         ]
+    else:
+        raise ValueError(f"unknown hparams_search.sampler {sampler!r}")
 
-    log.info(f"hparams_search: {len(trials)} trials optimizing {optimized} ({direction})")
+    log.info(f"hparams_search[{sampler}]: {n_trials} trials optimizing {optimized} ({direction})")
     results = []
-    for i, trial in enumerate(trials):
+    tpe_history = []  # [(params, value)] of successful trials, for the TPE sampler
+    for i in range(n_trials):
+        if trials is not None:
+            trial = trials[i]
+        else:
+            from anomalyclip_tpu.train import tpe
+
+            trial = tpe.suggest(
+                space,
+                tpe_history,
+                rng,
+                maximize=(direction == "max"),
+                n_startup=int(hs.get("n_startup_trials", 4)),
+                gamma=float(hs.get("gamma", 0.25)),
+                sample_random=sample_random,
+            )
         overrides = [f"{k}={v}" for k, v in trial.items()]
         job = argv + overrides + [f"exp_name_suffix=/trial_{i}"]
         log.info(f"trial {i}: {trial}")
@@ -221,6 +242,8 @@ def _hparams_search(argv) -> dict:
         except Exception as exc:  # a failed trial must not kill the search
             log.error(f"trial {i} failed: {exc!r}")
             metrics, value = {"error": repr(exc)}, None
+        if value is not None:
+            tpe_history.append((trial, float(value)))
         results.append({"trial": i, "params": trial, "value": value})
     valid = [r for r in results if r["value"] is not None]
     if valid:

@@ -256,6 +256,90 @@ def test_eval_epoch_outputs_match(eval_outputs):
     )
 
 
+@pytest.mark.parametrize("position", ["middle", "front"])
+def test_class_token_positions_match_reference(pipeline, position):
+    """The "middle"/"front" prompt orderings (reference coop.py:92-133) — our
+    static per-class row-permutation assembly vs the reference's per-class
+    concat loop, on the reference's own ctx/prefix/suffix."""
+    import jax.numpy as jnp
+
+    from anomalyclip_tpu.models.prompt_learner import (
+        assemble_prompts,
+        build_prompt_spec,
+    )
+
+    net = pipeline["net"]
+    pl_ = net.prompt_learner
+    pl_.class_token_position = position
+    try:
+        with torch.no_grad():
+            want = pl_().numpy()
+    finally:
+        pl_.class_token_position = "end"
+
+    module = pipeline["module"]
+    spec = build_prompt_spec(
+        module.model.classnames,
+        np.asarray(module.frozen["clip"]["text"]["token_embedding"]),
+        n_ctx=int(pipeline["cfg"].model.net.n_ctx),
+        class_token_position=position,
+    )
+    got = np.asarray(assemble_prompts(jnp.asarray(pl_.ctx.detach().numpy()), spec))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_encode_text_matches_reference_zeroshot(pipeline):
+    """encode_text == the reference's TextEncoderZeroshot (text_encoder.py:28-50)
+    on raw token ids through the converted CLIP weights."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    from anomalyclip_tpu.models.clip.model import encode_text
+    from anomalyclip_tpu.models.clip.tokenizer import tokenize
+
+    te_mod = importlib.import_module("src.models.components.text_encoder")
+    clip_pkg = __import__("sys").modules["src.models.components.clip.clip"]
+    texts = ["a video of fire", "an empty street at night"]
+    tokens = tokenize(texts)
+
+    net = pipeline["net"]
+
+    class _ClipShim:  # TextEncoderZeroshot pulls submodules off a CLIP instance
+        token_embedding = net.token_embedding
+        transformer = net.text_encoder.transformer
+        positional_embedding = net.text_encoder.positional_embedding
+        ln_final = net.text_encoder.ln_final
+        text_projection = net.text_encoder.text_projection
+        dtype = torch.float32
+
+    zeroshot = te_mod.TextEncoderZeroshot(_ClipShim)
+    with torch.no_grad():
+        ref_tokens = clip_pkg.tokenize(texts)
+        np.testing.assert_array_equal(tokens, ref_tokens.numpy())
+        want = zeroshot(ref_tokens).numpy()
+
+    module = pipeline["module"]
+    got = np.asarray(
+        encode_text(module.frozen["clip"], module.model.clip_cfg, jnp.asarray(tokens))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("t,length", [(100, 32), (32, 32), (7, 32), (333, 31)])
+def test_process_feat_matches_reference(pipeline, monkeypatch, t, length):
+    """The mean-pooling resampler (feature_dataset.py:30-39) — vectorized
+    reduceat vs the reference loop (np.int patched: removed in modern numpy)."""
+    from anomalyclip_tpu.data.sampling import process_feat
+
+    monkeypatch.setattr(np, "int", np.int64, raising=False)
+    ref_fn = pipeline["feature_dataset_mod"].process_feat
+    feat = np.random.default_rng(3).standard_normal((t, 16)).astype(np.float32)
+    np.testing.assert_allclose(
+        process_feat(feat, length), ref_fn(feat, length), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_eval_epoch_metrics_match(eval_outputs, pipeline):
     """(c) identical detection metrics from each side's own arrays
     (anomaly_clip_module.py:500-592)."""

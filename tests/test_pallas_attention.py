@@ -174,6 +174,54 @@ def test_fused_mha_qtile_grad_matches_xla():
     np.testing.assert_allclose(np.asarray(gkv), np.asarray(rkv), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "n,l,dh",
+    [
+        (4, 64, 64),     # single KV block (degenerate flash = plain softmax)
+        (2, 577, 64),    # partial final q and KV blocks (577 = 2*256 + 65)
+        (2, 1536, 64),   # multi-block KV sweep
+        (3, 300, 32),    # non-128 dh, ragged everything
+    ],
+)
+def test_flash_attention_matches_reference_fp32(n, l, dh):
+    """KV-blocked online-softmax kernel vs the reference, incl. ragged tails."""
+    from anomalyclip_tpu.ops.pallas.attention import flash_attention_heads
+
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((n, l, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((n, l, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n, l, dh)), jnp.float32)
+    want = np.asarray(
+        _reference_attention(q[:, None], k[:, None], v[:, None], causal=False)[:, 0]
+    )
+    got = np.asarray(flash_attention_heads(q, k, v, True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_grad_matches_xla():
+    from anomalyclip_tpu.ops.pallas.attention import flash_attention_heads
+
+    rng = np.random.default_rng(12)
+    n, l, dh = 2, 48, 32
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((n, l, dh)), jnp.float32) for _ in range(3)
+    )
+
+    def loss_fused(q, k, v):
+        return jnp.sum(flash_attention_heads(q, k, v, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            _reference_attention(q[:, None], k[:, None], v[:, None], False)[:, 0] ** 2
+        )
+
+    for gf, gr in zip(
+        jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v),
+        jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v),
+    ):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-4)
+
+
 def test_qtile_eligibility_covers_the_long_tail():
     """Shapes past the whole-block cap route to the q-tiled kernel; shapes whose
     resident KV cannot fit VMEM still fall back to XLA."""
@@ -195,10 +243,11 @@ def test_mha_eligibility_rejects_long_sequences():
     assert not mha_eligible(8, 577, 1024, 16, 2)
 
 
-def test_per_head_kernel_routes_degenerate_groups_to_xla(monkeypatch):
+def test_per_head_kernel_routes_degenerate_groups(monkeypatch):
     """At L=577 (ViT-L/14@336) _pick_g degenerates to g<4; _fused_attention_impl
-    must route to the XLA formulation instead of serializing a tiny-group grid
-    (or OOMing the Mosaic compile, as L>=512 does on hardware)."""
+    must not serialize a tiny-group grid (or OOM the Mosaic compile, as L>=512
+    does on hardware): non-causal shapes route to the KV-blocked flash kernel,
+    causal ones to the XLA formulation."""
     import jax
     import numpy as np
 
@@ -207,20 +256,30 @@ def test_per_head_kernel_routes_degenerate_groups_to_xla(monkeypatch):
     assert A._pick_g(8 * 16, 577, 64, 2) < 4
     assert A._pick_g(8 * 16, 197, 64, 2) >= 4  # ViT-B/16 stays on the kernel
 
-    calls = []
-    real = A._xla_attention
+    flash_calls, xla_calls = [], []
+    real_flash, real_xla = A.flash_attention_heads, A._xla_attention
 
-    def recording_xla(q, k, v, causal):
-        calls.append(q.shape)
-        return real(q, k, v, causal)
+    def rec_flash(q, k, v, interpret=False):
+        flash_calls.append(q.shape)
+        return real_flash(q, k, v, interpret)
 
-    monkeypatch.setattr(A, "_xla_attention", recording_xla)
+    def rec_xla(q, k, v, causal):
+        xla_calls.append(q.shape)
+        return real_xla(q, k, v, causal)
+
+    monkeypatch.setattr(A, "flash_attention_heads", rec_flash)
+    monkeypatch.setattr(A, "_xla_attention", rec_xla)
     rng = np.random.default_rng(0)
     q, k, v = (
         jax.numpy.asarray(rng.standard_normal((1, 2, 577, 8)), jax.numpy.float32)
         for _ in range(3)
     )
     out = A.fused_attention(q, k, v, False, True)  # interpret=True: CPU-safe
-    np.testing.assert_allclose(np.asarray(out), np.asarray(real(q, k, v, False)),
+    np.testing.assert_allclose(np.asarray(out), np.asarray(real_xla(q, k, v, False)),
                                rtol=1e-5, atol=1e-5)
-    assert calls, "degenerate-group shape did not take the XLA fallback"
+    assert flash_calls, "non-causal degenerate shape must take the flash kernel"
+
+    out_c = A.fused_attention(q, k, v, True, True)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(real_xla(q, k, v, True)),
+                               rtol=1e-5, atol=1e-5)
+    assert xla_calls, "causal degenerate shape must take the XLA fallback"

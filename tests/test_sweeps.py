@@ -70,10 +70,35 @@ def test_hparams_search_reports_best(tmp_path):
         "extras.print_config=False",
     )
     assert result.returncode == 0, result.stdout[-2000:] + result.stderr[-2000:]
-    assert "hparams_search: 2 trials" in result.stdout
+    assert "hparams_search[random]: 2 trials" in result.stdout
     assert "hparams_search best: trial" in result.stdout
     base = tmp_path / "logs" / "train" / "runs" / "synthetic"
     assert (base / "trial_0").is_dir() and (base / "trial_1").is_dir()
+
+
+@pytest.mark.slow
+def test_hparams_search_tpe_sampler(tmp_path):
+    """sampler=tpe (the reference's Optuna-TPESampler analogue,
+    configs/hparams_search/mnist_optuna.yaml): adaptive trials past the random
+    startup phase, best reported."""
+    result = _run_train(
+        tmp_path,
+        "experiment=synthetic",
+        "trainer=cpu",
+        "trainer.max_epochs=1",
+        "trainer.limit_train_batches=1",
+        "trainer.limit_val_batches=2",
+        "hparams_search=synthetic_tpe",
+        "hparams_search.n_trials=3",
+        "hparams_search.n_startup_trials=2",  # trial 2 exercises the TPE rule
+        "test=False",
+        "extras.print_config=False",
+    )
+    assert result.returncode == 0, result.stdout[-2000:] + result.stderr[-2000:]
+    assert "hparams_search[tpe]: 3 trials" in result.stdout
+    assert "hparams_search best: trial" in result.stdout
+    base = tmp_path / "logs" / "train" / "runs" / "synthetic"
+    assert (base / "trial_2").is_dir()
 
 
 @pytest.mark.slow
