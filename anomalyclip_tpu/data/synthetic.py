@@ -103,6 +103,10 @@ def _acquire_dir_lock(lock: Path, timeout: float = 120.0) -> None:
                     # after a successful re-acquire we claim it with our pid
                     # and only proceed if the claim survives a settle window —
                     # the loser sees the other pid (or a fresh mtime) and waits.
+                    # A dead breaker may itself have left an owner claim inside;
+                    # clear it or rmdir fails ENOTEMPTY forever.
+                    for leftover in lock.iterdir():
+                        leftover.unlink(missing_ok=True)
                     os.rmdir(lock)
                     try:
                         lock.mkdir()

@@ -126,8 +126,15 @@ class GridScorer:
             self.update(frozen, trainable, bn_state, ncentroid)
 
     def update(self, frozen, trainable, bn_state: BNState, ncentroid) -> "GridScorer":
-        """Swap in new parameters (no recompilation)."""
-        self.text_features = self._text_fn(frozen, trainable)
+        """Swap in new parameters (no recompilation).
+
+        Text features are computed from a text-subtree view of ``frozen``: the
+        visual tower must never be committed to the default device here — with
+        host-numpy frozen params (train/module.py) that would re-upload the
+        full tower every epoch, and under tensor-parallel serving it would put
+        the full unsharded tower on device 0, defeating TP capacity."""
+        text_view = {"clip": {"text": frozen["clip"]["text"]}}
+        self.text_features = self._text_fn(text_view, trainable)
         self._frozen = frozen
         self._temporal = trainable["temporal"]
         self._bn_state = bn_state

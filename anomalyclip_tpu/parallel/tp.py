@@ -168,8 +168,6 @@ def shard_clip_params_aligned(params: Any, mesh: Mesh) -> Any:
     pre-permuted head-aligned (weights are placed once; the O(params) permute is
     off the hot path). Only valid together with tp_encode_images_aligned — the
     permuted layout breaks the stock ``jnp.split(qkv, 3)`` forward."""
-    import jax.numpy as jnp
-
     mp = mesh.shape[MODEL_AXIS]
     width = params["visual"]["blocks"]["attn"]["qkv_w"].shape[1]
     heads = width // 64  # CLIP ViT convention: head dim is always 64 (model.py)
@@ -182,8 +180,11 @@ def shard_clip_params_aligned(params: Any, mesh: Mesh) -> Any:
     visual = dict(params["visual"])
     blocks = jax.tree_util.tree_map(lambda x: x, visual["blocks"])  # shallow copy
     attn = dict(blocks["attn"])
-    attn["qkv_w"] = jnp.asarray(attn["qkv_w"])[:, :, perm]
-    attn["qkv_b"] = jnp.asarray(attn["qkv_b"])[:, perm]
+    # permute on the HOST (numpy): jnp.asarray here would commit the full
+    # unsharded qkv stack — the largest weight group — to device 0 before
+    # sharding, breaking the streamed-into-placement capacity property
+    attn["qkv_w"] = np.asarray(attn["qkv_w"])[:, :, perm]
+    attn["qkv_b"] = np.asarray(attn["qkv_b"])[:, perm]
     blocks = {**blocks, "attn": attn}
     visual["blocks"] = blocks
     params["visual"] = visual

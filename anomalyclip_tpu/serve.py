@@ -55,22 +55,29 @@ def _iter_watch(root: Path, poll_interval: float, stop_after: float):
     deadline = time.time() + stop_after if stop_after else None
     while deadline is None or time.time() < deadline:
         for p in sorted(root.iterdir()):
-            if p in seen or not (
-                p.suffix == ".npy" or p.suffix.lower() in VIDEO_EXTS or p.is_dir()
-            ):
+            try:
+                if p in seen or not (
+                    p.suffix == ".npy" or p.suffix.lower() in VIDEO_EXTS or p.is_dir()
+                ):
+                    continue
+                # Skip inputs still being written: a file's mtime must be
+                # settled one poll; a frames directory must show a stable
+                # (mtime, entry count) signature across two polls — otherwise
+                # a directory mid-population would be scored partially and
+                # never rescored.
+                if p.is_file():
+                    if time.time() - p.stat().st_mtime < poll_interval:
+                        continue
+                else:
+                    sig = (p.stat().st_mtime, sum(1 for _ in p.iterdir()))
+                    if pending.get(p) != sig:
+                        pending[p] = sig
+                        continue
+            except OSError:
+                # the entry vanished (atomic-publish rename / cleanup) between
+                # listing and stat — drop any settle state and move on
+                pending.pop(p, None)
                 continue
-            # Skip inputs still being written: a file's mtime must be settled
-            # one poll; a frames directory must show a stable (mtime, entry
-            # count) signature across two polls — otherwise a directory mid-
-            # population would be scored partially and never rescored.
-            if p.is_file():
-                if time.time() - p.stat().st_mtime < poll_interval:
-                    continue
-            else:
-                sig = (p.stat().st_mtime, sum(1 for _ in p.iterdir()))
-                if pending.get(p) != sig:
-                    pending[p] = sig
-                    continue
             pending.pop(p, None)
             seen.add(p)
             yield p

@@ -651,8 +651,25 @@ class AnomalyCLIPTrainModule:
         if getattr(self, "_scorer_cache", None) is None or self._scorer_cache.model is not self.model:
             self._scorer_cache = GridScorer(self.model, encode_jit=self._encode_jit())
         return self._scorer_cache.update(
-            self.frozen, state.trainable, state.bn_state, jnp.asarray(self.ncentroid)
+            self._text_frozen(), state.trainable, state.bn_state,
+            jnp.asarray(self.ncentroid),
         )
+
+    def _text_frozen(self):
+        """Device copy of the text subtree only, memoized: the scorer's
+        per-epoch text-feature refresh must neither re-upload nor even touch
+        the visual tower (host-resident by design; under TP only its shards
+        live on devices). Frame encoding goes through the encode_jit the
+        scorer was built with, so the visual leaves are never needed here."""
+        if getattr(self, "_text_frozen_dev", None) is None:
+            self._text_frozen_dev = {
+                "clip": {
+                    "text": jax.tree_util.tree_map(
+                        jnp.asarray, self.frozen["clip"]["text"]
+                    )
+                }
+            }
+        return self._text_frozen_dev
 
     def validate(self, state: TrainState, epoch: int, limit: Optional[int] = None) -> Dict:
         """Validation epoch -> detection metrics + metrics_{epoch}.json
@@ -718,6 +735,7 @@ class AnomalyCLIPTrainModule:
             self._encode_frames_jit = None  # stale jit for the old model
             self._scorer_cache = None  # and stale scorer executables
             self._frozen_dev = None  # and the stale single-device placement
+            self._text_frozen_dev = None  # and the stale text-subtree copy
             # host-resident: device placement stays explicit and path-aware so
             # the TP path can stream shards without a full copy on device 0
             self.frozen = jax.tree_util.tree_map(np.asarray, frozen)
