@@ -92,6 +92,9 @@ class AnomalyCLIPConfig:
     # "end" (every reference config; coop.py:82-90) | "middle" | "front"
     # (coop.py:92-133) — position of the classname tokens inside the prompt
     class_token_position: str = "end"
+    # "none" | "int8": quantize the frozen visual tower's GEMMs for serving
+    # (W8A8, models/clip/quant.py). Serving-only: train/parity paths ignore it.
+    quantize: str = "none"
     compute_dtype: str = "float32"
 
     @property

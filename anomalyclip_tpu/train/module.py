@@ -179,6 +179,10 @@ class AnomalyCLIPTrainModule:
             reason = self._tp_unavailable_reason(mp) if mp > 1 else None
             if mp > 1 and reason is None:
                 self._encode_frames_jit = self._tp_encode_fn(mp)
+            elif (
+                self.net_cfg.quantize == "int8" and not self.model.clip_cfg.is_resnet
+            ):
+                self._encode_frames_jit = self._int8_encode_fn()
             else:
                 if mp > 1:
                     log.warning(
@@ -196,6 +200,43 @@ class AnomalyCLIPTrainModule:
                 fn._tp = False
                 self._encode_frames_jit = fn
         return self._encode_frames_jit
+
+    def _int8_encode_fn(self):
+        """W8A8 serving encoder (model.net.quantize=int8): the frozen visual
+        tower's GEMM weights quantized once on the host (per-output-channel
+        int8 + scales) and placed on device; activations quantized per token
+        inside the jit (models/clip/quant.py). Chunking mirrors
+        AnomalyCLIP.encode_frames. Quantized params are passed as jit
+        arguments, never closed over (large constants break remote compile)."""
+        from anomalyclip_tpu.models.clip.quant import (
+            encode_image_int8,
+            quantize_clip_visual,
+        )
+
+        qvisual = jax.tree_util.tree_map(
+            jnp.asarray, quantize_clip_visual(self.frozen["clip"])
+        )
+        clip_cfg = self.model.clip_cfg
+        chunk = self.model.ENCODE_CHUNK
+
+        @jax.jit
+        def enc(q, frames):
+            n = frames.shape[0]
+            if n > chunk and n % chunk == 0:
+                return jax.lax.map(
+                    lambda c: encode_image_int8(q, clip_cfg, c),
+                    frames.reshape((n // chunk, chunk) + frames.shape[1:]),
+                ).reshape(n, -1)
+            return encode_image_int8(q, clip_cfg, frames)
+
+        log.info("encode path: int8 (W8A8) serving tower")
+
+        def fn(_frozen, frames):
+            return enc(qvisual, frames)
+
+        fn._tp = False
+        fn._int8 = True
+        return fn
 
     def _frozen_on_device(self):
         """Single-device placement of the frozen params, materialized lazily and

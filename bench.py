@@ -46,6 +46,8 @@ def main() -> None:
     ap.add_argument("--arch", default="ViT-B/16",
                     choices=["ViT-B/16", "ViT-B/32", "ViT-L/14", "ViT-L/14@336px"])
     ap.add_argument("--batch", type=int, default=0, help="0 = per-arch default")
+    ap.add_argument("--quant", default="none", choices=["none", "int8"],
+                    help="int8 = W8A8 serving tower (models/clip/quant.py)")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
@@ -71,18 +73,40 @@ def main() -> None:
                            "ViT-L/14": 64, "ViT-L/14@336px": 32}[args.arch]
     inner_iters = 12
 
-    @jax.jit
-    def encode_chain(p, frames):
-        """inner_iters encodes, each data-dependent on the previous via carry."""
+    if args.quant == "int8":
+        from anomalyclip_tpu.models.clip.quant import (
+            encode_image_int8,
+            quantize_clip_visual,
+        )
 
-        def body(_, carry):
-            out = encode_image(
-                p, cfg, frames + carry.astype(jnp.bfloat16) * 0,
-                compute_dtype=jnp.bfloat16,
+        params = {
+            "qvisual": jax.tree_util.tree_map(
+                jnp.asarray, quantize_clip_visual(init_clip_params(jax.random.PRNGKey(0), cfg))
             )
-            return out[0, 0].astype(jnp.float32)
+        }
 
-        return jax.lax.fori_loop(0, inner_iters, body, jnp.zeros((), jnp.float32))
+        @jax.jit
+        def encode_chain(p, frames):
+            def body(_, carry):
+                out = encode_image_int8(
+                    p["qvisual"], cfg, frames + carry.astype(jnp.bfloat16) * 0
+                )
+                return out[0, 0].astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, inner_iters, body, jnp.zeros((), jnp.float32))
+    else:
+        @jax.jit
+        def encode_chain(p, frames):
+            """inner_iters encodes, each data-dependent on the previous via carry."""
+
+            def body(_, carry):
+                out = encode_image(
+                    p, cfg, frames + carry.astype(jnp.bfloat16) * 0,
+                    compute_dtype=jnp.bfloat16,
+                )
+                return out[0, 0].astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, inner_iters, body, jnp.zeros((), jnp.float32))
 
     rng = np.random.default_rng(0)
     side = cfg.image_resolution
