@@ -93,7 +93,10 @@ class AnomalyCLIPConfig:
     # (coop.py:92-133) — position of the classname tokens inside the prompt
     class_token_position: str = "end"
     # "none" | "int8": quantize the frozen visual tower's GEMMs for serving
-    # (W8A8, models/clip/quant.py). Serving-only: train/parity paths ignore it.
+    # (W8A8, models/clip/quant.py). Serving-only — enforced by the module's
+    # encode routing (train/module.py:_int8_serving_active): fit(), incl. its
+    # ncentroid bootstrap, always encodes on the fp tower so training never
+    # mixes precisions; only post-fit eval/serve encodes go int8.
     quantize: str = "none"
     compute_dtype: str = "float32"
 

@@ -261,6 +261,42 @@ def multi_head_attention(
     return out @ attn["out_w"] + attn["out_b"]
 
 
+def attention_from_qkv(qkv: jnp.ndarray, num_heads: int, causal: bool = False) -> jnp.ndarray:
+    """The attention core over a packed (B, L, 3D) qkv projection -> (B, L, D).
+
+    Same dispatch ladder as multi_head_attention (keep the two in sync):
+    fused whole-block kernel -> q-tiled resident-KV kernel -> split-heads
+    attention_core (which itself falls back flash -> XLA). Exists for callers
+    that own the projections — the int8 serving tower (models/clip/quant.py)
+    projects with int8 GEMMs and must not lose kernel coverage on the shapes
+    where only the qtile/flash rungs fit (e.g. ViT-L/14@336's L=577)."""
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    head_dim = d // num_heads
+
+    if _attention_impl() == "pallas":
+        from anomalyclip_tpu.ops.pallas.attention import (
+            fused_mha_qkv,
+            fused_mha_qtile,
+            mha_eligible,
+            mha_qtile_eligible,
+        )
+
+        itemsize = qkv.dtype.itemsize
+        if mha_eligible(b, l, d, num_heads, itemsize):
+            return fused_mha_qkv(qkv, num_heads, causal)
+        if not causal and mha_qtile_eligible(b, l, d, num_heads, itemsize):
+            return fused_mha_qtile(qkv[..., :d], qkv[..., d:], num_heads)
+
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split_heads(t):
+        return t.reshape(b, l, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    out = attention_core(split_heads(q), split_heads(k), split_heads(v), causal)
+    return out.transpose(0, 2, 1, 3).reshape(b, l, d)
+
+
 def _block_apply(x: jnp.ndarray, blk: Params, num_heads: int, causal: bool) -> jnp.ndarray:
     """One pre-LN residual attention block (model.py:188-217)."""
     h = layer_norm(x, blk["ln_1"]["scale"], blk["ln_1"]["bias"])

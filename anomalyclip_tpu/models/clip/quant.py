@@ -26,11 +26,12 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from anomalyclip_tpu.models.clip.model import (
     CLIPConfig,
+    attention_from_qkv,
     layer_norm,
+    matmul_precision_for,
     patchify,
     quick_gelu,
 )
@@ -38,14 +39,14 @@ from anomalyclip_tpu.models.clip.model import (
 Params = Dict[str, Any]
 
 
-def quantize_weight(w: np.ndarray) -> Params:
+def quantize_weight(w) -> Params:
     """Per-output-channel symmetric int8 quantization of a (..., in, out) weight
     (stacked block weights keep their leading ``layers`` axis)."""
-    w = np.asarray(w, np.float32)
-    scale = np.max(np.abs(w), axis=-2, keepdims=True) / 127.0  # (..., 1, out)
-    scale = np.maximum(scale, 1e-12)
-    w_q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
-    return {"w_q": w_q, "scale": scale[..., 0, :].astype(np.float32)}
+    w = jnp.asarray(w, jnp.float32)
+    scale = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0  # (..., 1, out)
+    scale = jnp.maximum(scale, 1e-12)
+    w_q = jnp.clip(jnp.rint(w / scale), -127, 127).astype(jnp.int8)
+    return {"w_q": w_q, "scale": scale[..., 0, :]}
 
 
 def int8_linear(x: jnp.ndarray, qlin: Params, bias=None) -> jnp.ndarray:
@@ -68,59 +69,56 @@ def int8_linear(x: jnp.ndarray, qlin: Params, bias=None) -> jnp.ndarray:
     return y.astype(out_dtype)
 
 
-def quantize_clip_visual(params: Params) -> Params:
-    """fp32 visual tower -> int8 tower (same tree shape; GEMM weights replaced
-    by {w_q, scale} nodes, everything else passed through as fp32)."""
-    visual = params["visual"]
+@jax.jit
+def _quantize_visual_tree(visual: Params) -> Params:
+    f32 = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jnp.asarray(x, jnp.float32), t
+    )
     blocks = visual["blocks"]
     return {
         "patch_embed": quantize_weight(visual["patch_embed"]),
-        "class_embedding": np.asarray(visual["class_embedding"], np.float32),
-        "positional_embedding": np.asarray(visual["positional_embedding"], np.float32),
-        "ln_pre": jax.tree_util.tree_map(np.asarray, visual["ln_pre"]),
+        "class_embedding": f32(visual["class_embedding"]),
+        "positional_embedding": f32(visual["positional_embedding"]),
+        "ln_pre": f32(visual["ln_pre"]),
         "blocks": {
-            "ln_1": jax.tree_util.tree_map(np.asarray, blocks["ln_1"]),
-            "ln_2": jax.tree_util.tree_map(np.asarray, blocks["ln_2"]),
+            "ln_1": f32(blocks["ln_1"]),
+            "ln_2": f32(blocks["ln_2"]),
             "attn": {
                 "qkv": quantize_weight(blocks["attn"]["qkv_w"]),
-                "qkv_b": np.asarray(blocks["attn"]["qkv_b"], np.float32),
+                "qkv_b": f32(blocks["attn"]["qkv_b"]),
                 "out": quantize_weight(blocks["attn"]["out_w"]),
-                "out_b": np.asarray(blocks["attn"]["out_b"], np.float32),
+                "out_b": f32(blocks["attn"]["out_b"]),
             },
             "mlp": {
                 "fc": quantize_weight(blocks["mlp"]["fc_w"]),
-                "fc_b": np.asarray(blocks["mlp"]["fc_b"], np.float32),
+                "fc_b": f32(blocks["mlp"]["fc_b"]),
                 "proj": quantize_weight(blocks["mlp"]["proj_w"]),
-                "proj_b": np.asarray(blocks["mlp"]["proj_b"], np.float32),
+                "proj_b": f32(blocks["mlp"]["proj_b"]),
             },
         },
-        "ln_post": jax.tree_util.tree_map(np.asarray, visual["ln_post"]),
+        "ln_post": f32(visual["ln_post"]),
         "proj": quantize_weight(visual["proj"]),
     }
 
 
-def _attention_bf16(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
-    """The bf16 attention core over the packed (B, L, 3D) projection — same
-    dispatch ladder as the bf16 path (model.py:multi_head_attention), minus the
-    projections which are int8 here."""
-    from anomalyclip_tpu.models.clip.model import _attention_impl
-    from anomalyclip_tpu.ops.pallas.attention import fused_mha_qkv, mha_eligible
+def quantize_clip_visual(params: Params) -> Params:
+    """fp32 visual tower -> int8 tower (same tree shape; GEMM weights replaced
+    by {w_q, scale} nodes, everything else passed through as fp32).
 
-    b, l, d3 = qkv.shape
-    d = d3 // 3
-    if _attention_impl() == "pallas" and mha_eligible(b, l, d, num_heads, qkv.dtype.itemsize):
-        return fused_mha_qkv(qkv, num_heads, False)
-    from anomalyclip_tpu.ops.pallas.attention import _xla_mha_bld
-
-    return _xla_mha_bld(
-        qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :], num_heads, False
-    )
+    Runs as ONE jitted tree->tree pass so quantization happens where the
+    weights live: host-numpy callers (train/module.py) pay a single H2D
+    transfer, and device-resident callers (bench.py, whose params sit on the
+    remote TPU) never round-trip through the host — eager per-leaf numpy here
+    cost ~150 s of tunnel traffic for ViT-B/16."""
+    return _quantize_visual_tree(params["visual"])
 
 
 def _block_apply_q(x: jnp.ndarray, blk: Params, num_heads: int) -> jnp.ndarray:
     h = layer_norm(x, blk["ln_1"]["scale"], blk["ln_1"]["bias"])
     qkv = int8_linear(h, blk["attn"]["qkv"], blk["attn"]["qkv_b"])
-    attn = _attention_bf16(qkv, num_heads)
+    # the fp attention core with the *full* dispatch ladder (whole-block ->
+    # qtile -> flash/XLA) — only the projections around it are int8
+    attn = attention_from_qkv(qkv, num_heads)
     x = x + int8_linear(attn, blk["attn"]["out"], blk["attn"]["out_b"])
     h = layer_norm(x, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
     h = quick_gelu(int8_linear(h, blk["mlp"]["fc"], blk["mlp"]["fc_b"]))
@@ -136,7 +134,19 @@ def encode_image_int8(
 ) -> jnp.ndarray:
     """Visual forward with int8 GEMMs: (B, H, W, 3) NHWC -> (B, embed_dim).
     Mirrors model.py:_encode_image layer for layer; ViT only (the RN family
-    stays on the fp path)."""
+    stays on the fp path). compute_dtype governs the non-GEMM compute exactly
+    as in encode_image — incl. the highest-precision matmul mode for fp32
+    (model.py:37-42: the TPU default silently truncates fp32 operands)."""
+    with matmul_precision_for(compute_dtype):
+        return _encode_image_int8(qvisual, cfg, images, compute_dtype)
+
+
+def _encode_image_int8(
+    qvisual: Params,
+    cfg: CLIPConfig,
+    images: jnp.ndarray,
+    compute_dtype: jnp.dtype,
+) -> jnp.ndarray:
     dtype = jnp.dtype(compute_dtype)
     x = patchify(images.astype(dtype), cfg.vision_patch_size)
     x = int8_linear(x, qvisual["patch_embed"])

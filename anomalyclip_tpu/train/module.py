@@ -179,55 +179,83 @@ class AnomalyCLIPTrainModule:
             reason = self._tp_unavailable_reason(mp) if mp > 1 else None
             if mp > 1 and reason is None:
                 self._encode_frames_jit = self._tp_encode_fn(mp)
-            elif (
-                self.net_cfg.quantize == "int8" and not self.model.clip_cfg.is_resnet
-            ):
-                self._encode_frames_jit = self._int8_encode_fn()
             else:
                 if mp > 1:
                     log.warning(
                         f"trainer.model_parallel={mp} requested but {reason} — "
                         "encoding on the single-device tower instead"
                     )
-                enc = jax.jit(self.model.encode_frames)
+                if self._int8_serving_active():
+                    self._encode_frames_jit = self._int8_encode_fn()
+                else:
+                    enc = jax.jit(self.model.encode_frames)
 
-                def fn(_frozen, frames, _enc=enc):
-                    # substitute the memoized device copy: self.frozen is host
-                    # numpy, and re-transferring the tower per chunk would turn
-                    # every encode into a host->device copy of the weights
-                    return _enc(self._frozen_on_device(), frames)
+                    def fn(_frozen, frames, _enc=enc):
+                        # substitute the memoized device copy: self.frozen is
+                        # host numpy, and re-transferring the tower per chunk
+                        # would turn every encode into a host->device copy of
+                        # the weights
+                        return _enc(self._frozen_on_device(), frames)
 
-                fn._tp = False
-                self._encode_frames_jit = fn
+                    fn._tp = False
+                    self._encode_frames_jit = fn
         return self._encode_frames_jit
+
+    def _int8_serving_active(self) -> bool:
+        """Whether the W8A8 tower serves this encode path. quantize=int8 is a
+        *serving* knob: during fit() the fp tower encodes everything (incl. the
+        ncentroid bootstrap) so training never mixes precisions — the train
+        forward always runs the fp tower, and a centroid from a different
+        tower would silently shift the loss."""
+        if self.net_cfg.quantize == "none":
+            return False
+        if self.net_cfg.quantize != "int8":
+            raise ValueError(
+                f"model.net.quantize={self.net_cfg.quantize!r}: expected 'none' or 'int8'"
+            )
+        if self.model.clip_cfg.is_resnet:
+            log.warning(
+                "model.net.quantize=int8 has no ResNet-tower path — serving the "
+                "fp tower instead"
+            )
+            return False
+        if getattr(self, "_in_fit", False):
+            log.warning(
+                "model.net.quantize=int8 is serving-only: the training run "
+                "(incl. its ncentroid bootstrap) uses the fp tower"
+            )
+            return False
+        return True
 
     def _int8_encode_fn(self):
         """W8A8 serving encoder (model.net.quantize=int8): the frozen visual
-        tower's GEMM weights quantized once on the host (per-output-channel
-        int8 + scales) and placed on device; activations quantized per token
-        inside the jit (models/clip/quant.py). Chunking mirrors
-        AnomalyCLIP.encode_frames. Quantized params are passed as jit
-        arguments, never closed over (large constants break remote compile)."""
+        tower's GEMM weights quantized once at build (per-output-channel
+        int8 + scales, one jitted tree->tree pass that lands on device);
+        activations quantized per token inside the jit
+        (models/clip/quant.py). Chunking mirrors AnomalyCLIP.encode_frames.
+        Quantized params are passed as jit arguments, never closed over
+        (large constants break remote compile)."""
         from anomalyclip_tpu.models.clip.quant import (
             encode_image_int8,
             quantize_clip_visual,
         )
 
-        qvisual = jax.tree_util.tree_map(
-            jnp.asarray, quantize_clip_visual(self.frozen["clip"])
-        )
+        qvisual = quantize_clip_visual(self.frozen["clip"])
         clip_cfg = self.model.clip_cfg
         chunk = self.model.ENCODE_CHUNK
+        # same non-GEMM compute dtype as the fp paths (encode_frames /
+        # tp_encode_images): only the six GEMM families change precision
+        dtype = self.model.cfg.dtype
 
         @jax.jit
         def enc(q, frames):
             n = frames.shape[0]
             if n > chunk and n % chunk == 0:
                 return jax.lax.map(
-                    lambda c: encode_image_int8(q, clip_cfg, c),
+                    lambda c: encode_image_int8(q, clip_cfg, c, dtype),
                     frames.reshape((n // chunk, chunk) + frames.shape[1:]),
                 ).reshape(n, -1)
-            return encode_image_int8(q, clip_cfg, frames)
+            return encode_image_int8(q, clip_cfg, frames, dtype)
 
         log.info("encode path: int8 (W8A8) serving tower")
 
@@ -497,9 +525,19 @@ class AnomalyCLIPTrainModule:
         tracing = profiler == "jax" and is_host_zero()
         if tracing:
             jax.profiler.start_trace(str(self.save_dir / "profile"))
+        # quantize=int8 is serving-only (_int8_serving_active): the encode fn is
+        # memoized, so the fit-scoped fp routing must not leak into a later
+        # test()/predict() (nor a pre-fit int8 encoder into the fit) — drop the
+        # cache at both edges when the knob is set
+        self._in_fit = True
+        if self.net_cfg.quantize != "none":
+            self._encode_frames_jit = None
         try:
             return self._fit_body()
         finally:
+            self._in_fit = False
+            if self.net_cfg.quantize != "none":
+                self._encode_frames_jit = None
             # stop on the exception path too: a crashed profiled run must still
             # finalize its trace (the crashing step is the interesting one)
             if tracing:

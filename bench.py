@@ -61,8 +61,12 @@ def main() -> None:
     }
     cfg = arch_cfgs[args.arch]()
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
-    # cast weights to bf16 once: MXU-native, halves HBM traffic
-    params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    if args.quant != "int8":
+        # cast weights to bf16 once: MXU-native, halves HBM traffic (the int8
+        # branch below quantizes the fp32 tree instead)
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.bfloat16), params
+        )
 
     # batch sweeps on v5e (bf16): B/16 64->3339, 128->3817, 256->3958, 384->3984,
     # 512->3770 (knee 256; 384 within noise for 1.5x the activation memory);
@@ -81,7 +85,7 @@ def main() -> None:
 
         params = {
             "qvisual": jax.tree_util.tree_map(
-                jnp.asarray, quantize_clip_visual(init_clip_params(jax.random.PRNGKey(0), cfg))
+                jnp.asarray, quantize_clip_visual(params)
             )
         }
 

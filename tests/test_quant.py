@@ -117,3 +117,43 @@ def test_module_routes_int8_encode(tmp_path):
         jax.jit(m.model.encode_frames)(m._frozen_on_device(), jnp.asarray(frames))
     )
     assert np.all(_cosine(ref, feats) > 0.999)
+
+
+def test_int8_is_serving_only(tmp_path):
+    """fit() (incl. the ncentroid bootstrap) must encode on the fp tower even
+    with quantize=int8, and the memoized encode fn must not leak the fit-scoped
+    fp routing into the post-fit serving path (or vice versa)."""
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+    from tests.helpers.synthetic_run import synthetic_cfg
+
+    m = AnomalyCLIPTrainModule(synthetic_cfg(tmp_path, "model.net.quantize=int8"))
+    # pre-fit (serving) routing is int8...
+    assert getattr(m._encode_jit(), "_int8", False)
+
+    seen = {}
+
+    def fake_body():
+        seen["in_fit"] = m._in_fit
+        seen["int8_during_fit"] = getattr(m._encode_jit(), "_int8", False)
+        return {}
+
+    m._fit_body = fake_body  # shadow the real epoch loop: routing is the test
+    m._fit()
+    # ...fp inside fit...
+    assert seen == {"in_fit": True, "int8_during_fit": False}
+    # ...and the fit-scoped fp encoder was dropped at exit, so post-fit
+    # test()/serve rebuilds onto the int8 tower
+    assert m._encode_frames_jit is None
+    assert not m._in_fit
+    assert getattr(m._encode_jit(), "_int8", False)
+
+
+def test_quantize_knob_validated(tmp_path):
+    """Unknown quantize values raise instead of silently serving the fp tower
+    (the knob's only effect is throughput — a typo would be invisible)."""
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+    from tests.helpers.synthetic_run import synthetic_cfg
+
+    m = AnomalyCLIPTrainModule(synthetic_cfg(tmp_path, "model.net.quantize=w8a8"))
+    with pytest.raises(ValueError, match="quantize"):
+        m._encode_jit()
