@@ -223,70 +223,59 @@ def multi_head_attention(
     ViT-B/16 batch 256 on v5e).
     """
     b, l, d = x.shape
-    head_dim = d // num_heads
+    rung = attention_rung(b, l, d, num_heads, x.dtype.itemsize, causal)
+    if rung == "qtile":
+        # project q and packed k|v as two GEMMs straight from x: slicing one
+        # packed (B, L, 3D) projection instead materializes copies (measured
+        # -5% full-encode at ViT-L/14@336, the rung's one production shape)
+        q = x @ attn["qkv_w"][:, :d] + attn["qkv_b"][:d]
+        kv = x @ attn["qkv_w"][:, d:] + attn["qkv_b"][d:]
+        from anomalyclip_tpu.ops.pallas.attention import fused_mha_qtile
 
+        out = fused_mha_qtile(q, kv, num_heads)
+    else:
+        qkv = x @ attn["qkv_w"] + attn["qkv_b"]
+        out = _attention_apply_rung(rung, qkv, num_heads, causal)
+    return out @ attn["out_w"] + attn["out_b"]
+
+
+def attention_rung(
+    b: int, l: int, d: int, num_heads: int, itemsize: int, causal: bool
+) -> str:
+    """THE kernel dispatch ladder, in one place for every attention caller
+    (fp multi_head_attention and the int8 tower's attention_from_qkv): which
+    rung serves this shape — "mha" (fused whole-block kernel), "qtile"
+    (q-tiled resident-KV kernel, e.g. ViT-L/14@336's L=577), or "core"
+    (split-heads attention_core, which itself falls back flash -> XLA)."""
     if _attention_impl() == "pallas":
         from anomalyclip_tpu.ops.pallas.attention import (
-            fused_mha_qkv,
-            fused_mha_qtile,
             mha_eligible,
             mha_qtile_eligible,
         )
 
-        itemsize = x.dtype.itemsize
         if mha_eligible(b, l, d, num_heads, itemsize):
-            # the packed (B, L, 3D) tensor feeds the kernel directly: q/k/v are
-            # split as static lane slices in VMEM, never as separate HBM buffers
-            qkv = x @ attn["qkv_w"] + attn["qkv_b"]
-            out = fused_mha_qkv(qkv, num_heads, causal)
-            return out @ attn["out_w"] + attn["out_b"]
+            return "mha"
         if not causal and mha_qtile_eligible(b, l, d, num_heads, itemsize):
-            # past the whole-block VMEM cap (ViT-L/14@336's L=577): the q-tiled
-            # kernel with resident K|V. q and packed k|v come from two slices of
-            # the fused projection — same FLOPs as one packed GEMM; the kernel
-            # needs them separate because they take different L-blocking.
-            q = x @ attn["qkv_w"][:, :d] + attn["qkv_b"][:d]
-            kv = x @ attn["qkv_w"][:, d:] + attn["qkv_b"][d:]
-            out = fused_mha_qtile(q, kv, num_heads)
-            return out @ attn["out_w"] + attn["out_b"]
-
-    qkv = x @ attn["qkv_w"] + attn["qkv_b"]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-
-    def split_heads(t):
-        return t.reshape(b, l, num_heads, head_dim).transpose(0, 2, 1, 3)
-
-    out = attention_core(split_heads(q), split_heads(k), split_heads(v), causal)
-    out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
-    return out @ attn["out_w"] + attn["out_b"]
+            return "qtile"
+    return "core"
 
 
-def attention_from_qkv(qkv: jnp.ndarray, num_heads: int, causal: bool = False) -> jnp.ndarray:
-    """The attention core over a packed (B, L, 3D) qkv projection -> (B, L, D).
-
-    Same dispatch ladder as multi_head_attention (keep the two in sync):
-    fused whole-block kernel -> q-tiled resident-KV kernel -> split-heads
-    attention_core (which itself falls back flash -> XLA). Exists for callers
-    that own the projections — the int8 serving tower (models/clip/quant.py)
-    projects with int8 GEMMs and must not lose kernel coverage on the shapes
-    where only the qtile/flash rungs fit (e.g. ViT-L/14@336's L=577)."""
+def _attention_apply_rung(
+    rung: str, qkv: jnp.ndarray, num_heads: int, causal: bool
+) -> jnp.ndarray:
+    """Run the chosen rung over a packed (B, L, 3D) qkv projection."""
     b, l, d3 = qkv.shape
     d = d3 // 3
     head_dim = d // num_heads
 
-    if _attention_impl() == "pallas":
-        from anomalyclip_tpu.ops.pallas.attention import (
-            fused_mha_qkv,
-            fused_mha_qtile,
-            mha_eligible,
-            mha_qtile_eligible,
-        )
+    if rung == "mha":
+        from anomalyclip_tpu.ops.pallas.attention import fused_mha_qkv
 
-        itemsize = qkv.dtype.itemsize
-        if mha_eligible(b, l, d, num_heads, itemsize):
-            return fused_mha_qkv(qkv, num_heads, causal)
-        if not causal and mha_qtile_eligible(b, l, d, num_heads, itemsize):
-            return fused_mha_qtile(qkv[..., :d], qkv[..., d:], num_heads)
+        return fused_mha_qkv(qkv, num_heads, causal)
+    if rung == "qtile":
+        from anomalyclip_tpu.ops.pallas.attention import fused_mha_qtile
+
+        return fused_mha_qtile(qkv[..., :d], qkv[..., d:], num_heads)
 
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -295,6 +284,18 @@ def attention_from_qkv(qkv: jnp.ndarray, num_heads: int, causal: bool = False) -
 
     out = attention_core(split_heads(q), split_heads(k), split_heads(v), causal)
     return out.transpose(0, 2, 1, 3).reshape(b, l, d)
+
+
+def attention_from_qkv(qkv: jnp.ndarray, num_heads: int, causal: bool = False) -> jnp.ndarray:
+    """The attention core over a packed (B, L, 3D) qkv projection -> (B, L, D),
+    dispatched through the same attention_rung ladder as the fp path. For
+    callers that own the projections — the int8 serving tower
+    (models/clip/quant.py) projects with int8 GEMMs and must keep kernel
+    coverage on shapes where only the qtile/flash rungs fit."""
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    rung = attention_rung(b, l, d, num_heads, qkv.dtype.itemsize, causal)
+    return _attention_apply_rung(rung, qkv, num_heads, causal)
 
 
 def _block_apply(x: jnp.ndarray, blk: Params, num_heads: int, causal: bool) -> jnp.ndarray:

@@ -2,14 +2,21 @@
 
 The bf16 encoder is measured at 90-94% of the v5e MXU's bf16 peak with a
 proven ~4,217 fps ViT-B/16 ceiling (docs/performance.md). The only lever past
-that ceiling is precision: the v5e MXU runs int8xint8->int32 at 2x the bf16
-rate (394 TOPS). This module quantizes the tower's six GEMM weight families
+that ceiling is precision: the v5e MXU's nominal int8xint8->int32 rate is 2x
+bf16 (394 TOPS). This module quantizes the tower's six GEMM weight families
 (patch embed, per-block qkv/out/fc/proj, final projection) to int8 with
 per-output-channel symmetric scales, and quantizes activations dynamically
 per token (per-row abs-max) at each GEMM — the W8A8 recipe that holds ViT
 features to high fidelity in practice. Everything else (LayerNorms, biases,
 residual stream, attention core) stays in bf16/fp32 exactly as the bf16 path:
 attention is 15% of time and dominated by the dh=64 shape, not precision.
+
+MEASURED CAVEAT (v5e, 2026-08-17): through XLA the int8 dot only reaches 209
+TOP/s (1.3x bf16, 53% of nominal peak) at the tower's hot shapes, and the
+dynamic-quantization passes cost more than that buys — end-to-end int8
+encode is ~5% SLOWER than bf16 (3,837 vs 4,044 fps at batch 256). Enable
+for throughput only after re-measuring on your hardware; see
+docs/performance.md "Past the bf16 ceiling" for the full numbers.
 
 Opt-in and serving-only: training and parity paths never touch this module.
 Feature fidelity must be validated against the fp32 encoder for a given

@@ -176,8 +176,16 @@ class AnomalyCLIPTrainModule:
             mp = int(
                 self.cfg.get("trainer", ConfigNode()).get("model_parallel") or 1
             )
+            # validate the quantize knob up front so a typo raises (and the
+            # serving-only warnings fire) on EVERY route, incl. tensor-parallel
+            int8 = self._int8_serving_active()
             reason = self._tp_unavailable_reason(mp) if mp > 1 else None
             if mp > 1 and reason is None:
+                if int8:
+                    log.warning(
+                        "model.net.quantize=int8 has no tensor-parallel path — "
+                        f"trainer.model_parallel={mp} encodes on the fp tower"
+                    )
                 self._encode_frames_jit = self._tp_encode_fn(mp)
             else:
                 if mp > 1:
@@ -185,7 +193,7 @@ class AnomalyCLIPTrainModule:
                         f"trainer.model_parallel={mp} requested but {reason} — "
                         "encoding on the single-device tower instead"
                     )
-                if self._int8_serving_active():
+                if int8:
                     self._encode_frames_jit = self._int8_encode_fn()
                 else:
                     enc = jax.jit(self.model.encode_frames)
@@ -526,18 +534,21 @@ class AnomalyCLIPTrainModule:
         if tracing:
             jax.profiler.start_trace(str(self.save_dir / "profile"))
         # quantize=int8 is serving-only (_int8_serving_active): the encode fn is
-        # memoized, so the fit-scoped fp routing must not leak into a later
-        # test()/predict() (nor a pre-fit int8 encoder into the fit) — drop the
-        # cache at both edges when the knob is set
+        # memoized (directly AND captured inside the cached GridScorer), so the
+        # fit-scoped fp routing must not leak into a later test()/predict()
+        # (nor a pre-fit int8 encoder into the fit) — drop both caches at both
+        # edges when the knob is set
         self._in_fit = True
         if self.net_cfg.quantize != "none":
             self._encode_frames_jit = None
+            self._scorer_cache = None
         try:
             return self._fit_body()
         finally:
             self._in_fit = False
             if self.net_cfg.quantize != "none":
                 self._encode_frames_jit = None
+                self._scorer_cache = None
             # stop on the exception path too: a crashed profiled run must still
             # finalize its trace (the crashing step is the interesting one)
             if tracing:

@@ -83,11 +83,8 @@ def main() -> None:
             quantize_clip_visual,
         )
 
-        params = {
-            "qvisual": jax.tree_util.tree_map(
-                jnp.asarray, quantize_clip_visual(params)
-            )
-        }
+        # one jitted pass; returns device-resident arrays, no per-leaf transfer
+        params = {"qvisual": quantize_clip_visual(params)}
 
         @jax.jit
         def encode_chain(p, frames):

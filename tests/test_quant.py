@@ -74,7 +74,7 @@ def test_int8_linear_error_bound():
 def test_encode_image_int8_tracks_fp32(cfg_fn):
     cfg = cfg_fn()
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
-    qv = jax.tree_util.tree_map(jnp.asarray, quantize_clip_visual(params))
+    qv = quantize_clip_visual(params)
     rng = np.random.default_rng(3)
     batch = 2 if cfg.vision_width > 128 else 4
     imgs = jnp.asarray(
@@ -131,29 +131,45 @@ def test_int8_is_serving_only(tmp_path):
     assert getattr(m._encode_jit(), "_int8", False)
 
     seen = {}
+    m._scorer_cache = "pre-fit-int8-scorer"  # must not leak into fit
 
     def fake_body():
         seen["in_fit"] = m._in_fit
         seen["int8_during_fit"] = getattr(m._encode_jit(), "_int8", False)
+        seen["scorer_cache_at_entry"] = m._scorer_cache
+        m._scorer_cache = "fit-scoped-fp-scorer"  # must not leak out of fit
         return {}
 
     m._fit_body = fake_body  # shadow the real epoch loop: routing is the test
     m._fit()
-    # ...fp inside fit...
-    assert seen == {"in_fit": True, "int8_during_fit": False}
-    # ...and the fit-scoped fp encoder was dropped at exit, so post-fit
-    # test()/serve rebuilds onto the int8 tower
+    # ...fp inside fit (and the pre-fit int8 scorer was dropped)...
+    assert seen == {
+        "in_fit": True,
+        "int8_during_fit": False,
+        "scorer_cache_at_entry": None,
+    }
+    # ...and the fit-scoped fp encoder AND the GridScorer capturing it were
+    # dropped at exit, so post-fit test()/serve rebuilds onto the int8 tower
     assert m._encode_frames_jit is None
+    assert m._scorer_cache is None
     assert not m._in_fit
     assert getattr(m._encode_jit(), "_int8", False)
 
 
-def test_quantize_knob_validated(tmp_path):
+@pytest.mark.parametrize("mp", [1, 2])
+def test_quantize_knob_validated(tmp_path, mp):
     """Unknown quantize values raise instead of silently serving the fp tower
-    (the knob's only effect is throughput — a typo would be invisible)."""
+    (the knob's only effect is throughput — a typo would be invisible), on
+    every encode route incl. tensor-parallel."""
     from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
     from tests.helpers.synthetic_run import synthetic_cfg
 
-    m = AnomalyCLIPTrainModule(synthetic_cfg(tmp_path, "model.net.quantize=w8a8"))
+    m = AnomalyCLIPTrainModule(
+        synthetic_cfg(
+            tmp_path,
+            "model.net.quantize=w8a8",
+            f"+trainer.model_parallel={mp}",
+        )
+    )
     with pytest.raises(ValueError, match="quantize"):
         m._encode_jit()
