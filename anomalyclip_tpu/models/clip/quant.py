@@ -11,12 +11,18 @@ features to high fidelity in practice. Everything else (LayerNorms, biases,
 residual stream, attention core) stays in bf16/fp32 exactly as the bf16 path:
 attention is 15% of time and dominated by the dh=64 shape, not precision.
 
-MEASURED CAVEAT (v5e, 2026-08-17): through XLA the int8 dot only reaches 209
-TOP/s (1.3x bf16, 53% of nominal peak) at the tower's hot shapes, and the
-dynamic-quantization passes cost more than that buys — end-to-end int8
-encode is ~5% SLOWER than bf16 (3,837 vs 4,044 fps at batch 256). Enable
-for throughput only after re-measuring on your hardware; see
-docs/performance.md "Past the bf16 ceiling" for the full numbers.
+MEASURED CAVEAT (v5e, 2026-08-17): the int8 MXU's nominal 2x is NOT reachable
+through today's XLA/Mosaic. Four formulations were measured at the tower's
+hot shapes — XLA W8A8 (this module), a bare XLA int8 dot, a fully fused
+Pallas quantize-GEMM (in-VMEM quantize, resident int8 weight, in-register
+dequant/GELU epilogue; block sizes swept 128-1024), and a hybrid Pallas-
+quantize + XLA-dot split — and every one computes at roughly the bf16 MXU
+rate (~60-98 TOP/s vs bf16's equivalent in the same harness), so the
+quantization overhead has nothing to pay for it: end-to-end int8 encode is
+3,837 fps (XLA, ~5% SLOWER than bf16's 4,044-4,059) and 2,918 fps (fused
+Pallas kernel — since deleted). Enable for throughput only after
+re-measuring on your hardware/toolchain; see docs/performance.md "Past the
+bf16 ceiling" for the full numbers.
 
 Opt-in and serving-only: training and parity paths never touch this module.
 Feature fidelity must be validated against the fp32 encoder for a given
@@ -56,11 +62,18 @@ def quantize_weight(w) -> Params:
     return {"w_q": w_q, "scale": scale[..., 0, :]}
 
 
-def int8_linear(x: jnp.ndarray, qlin: Params, bias=None) -> jnp.ndarray:
-    """y = dequant(quant(x) @ w_q) + bias, activations quantized per token.
+def int8_linear(x: jnp.ndarray, qlin: Params, bias=None, gelu: bool = False) -> jnp.ndarray:
+    """y = dequant(quant(x) @ w_q) + bias [-> QuickGELU], activations quantized
+    per token.
 
     x: (..., in) bf16/f32 -> (..., out) in x.dtype. The matmul runs
-    int8 x int8 -> int32 on the MXU; scales apply as one fused multiply.
+    int8 x int8 -> int32; scales apply as one fused multiply, and ``gelu``
+    folds the fc GEMM's QuickGELU into the same f32 epilogue before the cast.
+    Deliberately the plain XLA formulation: a fused Pallas W8A8 kernel
+    (in-VMEM quantize -> MXU int8 dot -> in-register dequant), a hybrid
+    Pallas-quantize + XLA-dot split, and block-size sweeps were all measured
+    SLOWER on v5e — Mosaic's int8 dot plateaus at ~70-80 TOP/s, at or below
+    the bf16 MXU rate; see docs/performance.md "Past the bf16 ceiling".
     """
     out_dtype = x.dtype
     xf = x.astype(jnp.float32)
@@ -73,6 +86,8 @@ def int8_linear(x: jnp.ndarray, qlin: Params, bias=None) -> jnp.ndarray:
     y = y.astype(jnp.float32) * x_scale * qlin["scale"].astype(jnp.float32)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
+    if gelu:
+        y = quick_gelu(y)
     return y.astype(out_dtype)
 
 
@@ -128,7 +143,7 @@ def _block_apply_q(x: jnp.ndarray, blk: Params, num_heads: int) -> jnp.ndarray:
     attn = attention_from_qkv(qkv, num_heads)
     x = x + int8_linear(attn, blk["attn"]["out"], blk["attn"]["out_b"])
     h = layer_norm(x, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
-    h = quick_gelu(int8_linear(h, blk["mlp"]["fc"], blk["mlp"]["fc_b"]))
+    h = int8_linear(h, blk["mlp"]["fc"], blk["mlp"]["fc_b"], gelu=True)
     x = x + int8_linear(h, blk["mlp"]["proj"], blk["mlp"]["proj_b"])
     return x
 
