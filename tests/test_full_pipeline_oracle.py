@@ -15,7 +15,11 @@ the same converted weights as the JAX pipeline, and asserting:
       match after padding trim (anomaly_clip.py:117-154);
   (c) the eval epoch: identical concatenated score arrays and identical
       detection metrics (AUC/AP/mAUC/mAP) on the same videos
-      (anomaly_clip_module.py:500-592).
+      (anomaly_clip_module.py:500-592);
+  (d) the from-frames branches (load_from_features=False): raw pixel tensors
+      through CLIP-visual encoding and the "(b ncrops n [s] l) d" rearranges
+      into the same pipeline, train and test mode (anomaly_clip.py:117-131,
+      156-169).
 
 Weights flow reference -> JAX through the production converter
 (convert_ckpt.convert_lightning_checkpoint via module.load_state), so this also
@@ -254,6 +258,136 @@ def test_eval_epoch_outputs_match(eval_outputs):
     np.testing.assert_allclose(
         ours["class_probs"], ref["class_probs"], rtol=1e-4, atol=2e-5
     )
+
+
+@pytest.fixture(scope="module")
+def frames_pipeline(pipeline):
+    """Both nets re-instantiated in from-frames mode (load_from_features=False)
+    over the SAME weights as the features-mode pipeline: the reference branches
+    at forward time (anomaly_clip.py:117-131, 156-169), encoding raw frames
+    with clip_model.visual and rearranging "(b ncrops n s l) d"; ours branches
+    in forward_train/forward_test via encode_frames. PIL decode + preprocess
+    parity is pinned separately (tests/test_data.py, tests/test_transforms.py);
+    these tests close the frames->encoder->grid COMPOSITION gap on identical
+    already-preprocessed pixel tensors."""
+    import copy
+    import dataclasses
+
+    from anomalyclip_tpu.models.anomaly_clip import AnomalyCLIP
+
+    cfg = pipeline["cfg"]
+    net_cfg = {
+        k: v
+        for k, v in dict(cfg.model.net).items()
+        if k not in ("clip_init", "clip_ckpt_path", "compute_dtype")
+    }
+    net_cfg["load_from_features"] = False
+    ref_net = fo.build_reference_net(net_cfg, clip_seed=7)
+    ref_net.load_state_dict(copy.deepcopy(pipeline["net"].state_dict()))
+    ref_net.eval()
+
+    m = pipeline["module"].model
+    model = AnomalyCLIP(
+        dataclasses.replace(m.cfg, load_from_features=False),
+        m.clip_cfg,
+        m.classnames,
+        m.prompt_spec,
+    )
+    return {"ref_net": ref_net, "model": model}
+
+
+def _random_frames(rng, b, t, side):
+    """Identical 'preprocessed' pixels for both frameworks: torch NCHW float32
+    and the same frames as NHWC for ours."""
+    nchw = rng.standard_normal((b, t, 3, side, side)).astype(np.float32)
+    nhwc = np.ascontiguousarray(np.transpose(nchw, (0, 1, 3, 4, 2)))
+    return nchw, nhwc
+
+
+def test_from_frames_test_forward_matches(pipeline, frames_pipeline, ncentroids):
+    """From-frames test forward: CLIP-encode all T frames, rearrange
+    "(b ncrops n s l) d", selector + temporal + stride expansion
+    (anomaly_clip.py:117-154) — per-frame (similarity, scores) parity."""
+    cfg = pipeline["cfg"]
+    ref_nc, _ = ncentroids
+    n = int(cfg.model.net.num_segments)
+    l = int(cfg.model.net.seg_length)
+    side = frames_pipeline["model"].clip_cfg.image_resolution
+    segment_size = 2
+    t = n * segment_size * l  # ncrops=1
+
+    nchw, nhwc = _random_frames(np.random.default_rng(21), 1, t, side)
+    with torch.no_grad():
+        ref_sim, ref_scores = frames_pipeline["ref_net"](
+            torch.from_numpy(nchw),
+            torch.zeros(t, dtype=torch.long),  # labels: unused in test mode
+            ref_nc,
+            segment_size,
+            test_mode=True,
+        )
+
+    state = pipeline["state"]
+    sim, scores = frames_pipeline["model"].forward_test(
+        pipeline["module"].frozen,
+        state.trainable,
+        state.bn_state,
+        jnp.asarray(nhwc),
+        jnp.asarray(ref_nc.numpy()),
+        segment_size,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sim), ref_sim.numpy(), rtol=1e-4, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), ref_scores.numpy(), rtol=1e-4, atol=5e-5
+    )
+
+
+def test_from_frames_train_forward_matches(pipeline, frames_pipeline, ncentroids):
+    """From-frames training forward: encode + "(b ncrops n l) d" rearrange into
+    the selector/temporal pipeline (anomaly_clip.py:156-215) — full 6-tuple
+    parity (dropout=0 in this experiment => deterministic selection)."""
+    import copy
+
+    cfg = pipeline["cfg"]
+    ref_nc, _ = ncentroids
+    n = int(cfg.model.net.num_segments)
+    l = int(cfg.model.net.seg_length)
+    side = frames_pipeline["model"].clip_cfg.image_resolution
+    normal_id = int(cfg.data.normal_id)
+    b = 4  # 2 abnormal + 2 normal, abnormal-first (anomaly_clip_module.py:177)
+
+    nchw, nhwc = _random_frames(np.random.default_rng(22), b, n * l, side)
+    abn = [c for c in range(int(cfg.data.num_classes)) if c != normal_id]
+    labels = np.array(abn[: b // 2] + [normal_id] * (b // 2), dtype=np.int64)
+
+    tnet = copy.deepcopy(frames_pipeline["ref_net"]).train()
+    with torch.no_grad():
+        t_out = tnet(torch.from_numpy(nchw), torch.from_numpy(labels), ref_nc)
+    t_logits, t_logits_topk, t_scores, t_ita, t_itn, t_iba = t_out
+
+    state = pipeline["state"]
+    out, _new_bn = frames_pipeline["model"].forward_train(
+        pipeline["module"].frozen,
+        state.trainable,
+        state.bn_state,
+        jnp.asarray(nhwc),
+        jnp.asarray(labels),
+        jnp.asarray(ref_nc.numpy()),
+        jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.logits), t_logits.numpy(), rtol=1e-4, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.logits_topk), t_logits_topk.numpy(), rtol=1e-4, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.scores), t_scores.numpy(), rtol=1e-4, atol=5e-5
+    )
+    np.testing.assert_array_equal(np.asarray(out.idx_topk_abn), t_ita.numpy())
+    np.testing.assert_array_equal(np.asarray(out.idx_topk_nor), t_itn.numpy())
+    np.testing.assert_array_equal(np.asarray(out.idx_bottomk_abn), t_iba.numpy())
 
 
 @pytest.mark.parametrize("position", ["middle", "front"])
