@@ -17,7 +17,8 @@ hot shapes — XLA W8A8 (this module), a bare XLA int8 dot, a fully fused
 Pallas quantize-GEMM (in-VMEM quantize, resident int8 weight, in-register
 dequant/GELU epilogue; block sizes swept 128-1024), and a hybrid Pallas-
 quantize + XLA-dot split — and every one computes at roughly the bf16 MXU
-rate (~60-98 TOP/s vs bf16's equivalent in the same harness), so the
+rate (~60-209 TOP/s across harnesses, never above 1.3x the same harness's
+bf16 reading and mostly at parity with it), so the
 quantization overhead has nothing to pay for it: end-to-end int8 encode is
 3,837 fps (XLA, ~5% SLOWER than bf16's 4,044-4,059) and 2,918 fps (fused
 Pallas kernel — since deleted). Enable for throughput only after
