@@ -145,4 +145,17 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # The remote-TPU tunnel occasionally drops mid-run and the JAX backend
+        # cannot re-initialize in-process; one fresh-process retry rescues the
+        # measurement (the guard env var prevents a retry loop).
+        import os
+
+        if os.environ.get("ANOMALYCLIP_BENCH_RETRIED"):
+            raise
+        print(f"# bench failed ({type(e).__name__}: {e}); retrying once "
+              "in a fresh process", file=sys.stderr)
+        os.environ["ANOMALYCLIP_BENCH_RETRIED"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
