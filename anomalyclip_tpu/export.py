@@ -1,0 +1,337 @@
+"""AOT export of the serving graphs to self-contained StableHLO artifacts.
+
+The reference's deployment story is "load the Lightning checkpoint into the
+Python model code" (its CLIP loader even special-cases TorchScript-JIT'd
+checkpoints, reference clip.py:108-163). The TPU-native equivalent of a
+shippable compiled model is `jax.export`: trace the jitted serving functions
+once, serialize the StableHLO (+ the weights), and reload them *without any
+model code* — the artifact is callable from bare JAX (or any StableHLO
+runtime) on the serving fleet.
+
+Two graphs cover the full serving surface (the same pair the evaluator,
+`predict`, and `serve` run, eval/evaluator.py):
+
+- ``score``: (param leaves, grids (g, n, l, D)) -> (similarity, scores).
+  Exported with a *symbolic* grid count ``g`` — one artifact serves every
+  video length with zero recompilation/bucketing logic baked in. Traced under
+  ``attention_impl("xla")``: the temporal tower is tiny, and symbolic batch
+  dims cannot flow into a pallas_call grid; the resulting module is portable
+  StableHLO (runs on TPU/CPU/GPU backends alike).
+- ``encode`` (optional): (visual-tower leaves, frames (chunk, H, W, 3)) ->
+  (chunk, D) CLIP features, static chunk = AnomalyCLIP.ENCODE_CHUNK. On a TPU
+  export platform this embeds the fused Pallas attention kernel (a
+  platform-locked `tpu_custom_call` — normal for a deployment artifact; the
+  loader replays it on matching hardware), elsewhere the portable XLA
+  formulation exported for cpu/tpu/cuda alike (meta.json records the
+  platforms of each graph).
+
+Artifact layout (a directory):
+
+    meta.json           format/version, grid shape, classnames, platforms
+    score.bin           jax.export serialization of the score graph
+    score_params.npz    flattened score-graph weights (text features, temporal
+                        params, BN stats, ncentroid)
+    encode.bin          (optional) serialization of the encode graph
+    encode_params.npz   (optional) frozen visual-tower weights
+
+CLI (same bootstrap contract as predict.py):
+
+    python -m anomalyclip_tpu.export model=anomaly_clip_ucfcrime data=ucfcrime \
+        ckpt_path=<orbax-dir | released.ckpt> out=<artifact-dir> \
+        [include_encoder=true] [ncentroid_path=...]
+
+Loading needs only this module (no AnomalyCLIP/CLIP construction):
+
+    art = ServingArtifact.load("artifact-dir")
+    similarity, scores = art.score(grids)          # any g, no padding
+    feats = art.encode(frames_uint8_or_float)      # chunked + normalized
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+FORMAT_VERSION = 1
+
+# CLIP preprocessing constants (data/sources.py normalize_frames; duplicated
+# here so a loaded artifact never imports the data layer)
+_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def _save_leaves(path: Path, leaves: Sequence) -> None:
+    """npz-serialize arrays, spelling bf16 as a uint16 view (npz has no bf16)."""
+    arrays, dtypes = {}, []
+    for i, leaf in enumerate(leaves):
+        arr = np.asarray(leaf)
+        dtypes.append(str(arr.dtype))
+        if arr.dtype.name == "bfloat16":
+            arr = arr.view(np.uint16)
+        arrays[f"leaf_{i}"] = arr
+    np.savez(path, __dtypes__=np.array(dtypes), **arrays)
+
+
+def _load_leaves(path: Path) -> List[np.ndarray]:
+    import ml_dtypes
+
+    with np.load(path) as z:
+        dtypes = [str(d) for d in z["__dtypes__"]]
+        leaves = []
+        for i, dt in enumerate(dtypes):
+            arr = z[f"leaf_{i}"]
+            if dt == "bfloat16":
+                arr = arr.view(ml_dtypes.bfloat16)
+            leaves.append(arr)
+    return leaves
+
+
+# every graph without non-portable custom calls is exported for all three
+# backends at once — one artifact serves the TPU fleet, CPU CI, and GPU boxes
+PORTABLE_PLATFORMS = ("cpu", "tpu", "cuda")
+
+
+def _export_jit(fn_jit, args, *, allow_tpu_custom_call: bool):
+    """jax.export.export; portable graphs are lowered for all platforms, while
+    a graph embedding the fused Pallas kernel (tpu_custom_call) is necessarily
+    TPU-locked and needs the safety check disabled."""
+    from jax import export as jexport
+
+    if allow_tpu_custom_call:
+        return jexport.export(
+            fn_jit,
+            platforms=["tpu"],
+            disabled_checks=[jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")],
+        )(*args)
+    return jexport.export(fn_jit, platforms=list(PORTABLE_PLATFORMS))(*args)
+
+
+def export_serving_artifact(
+    model,
+    frozen,
+    trainable,
+    bn_state,
+    ncentroid,
+    out_dir: str | Path,
+    *,
+    include_encoder: bool = True,
+    classnames: Optional[Sequence[str]] = None,
+) -> Path:
+    """Export the serving graphs of a trained AnomalyCLIP to ``out_dir``.
+
+    ``frozen``/``trainable``/``bn_state``/``ncentroid`` are the same pytrees the
+    evaluator consumes (train/module.py state). Returns the artifact path.
+    Note: exports the fp tower — the int8 serving tower (models/clip/quant.py)
+    re-quantizes at load time and is not embedded in artifacts.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+    from jax.tree_util import tree_flatten, tree_unflatten
+
+    from anomalyclip_tpu.eval.evaluator import GridScorer
+    from anomalyclip_tpu.models.clip.model import attention_impl
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    scorer = GridScorer(model, frozen, trainable, bn_state, ncentroid)
+    n, l = model.cfg.num_segments, model.cfg.seg_length
+    d = model.embedding_dim
+
+    # ---- score graph: symbolic grid count, portable XLA attention ----------
+    score_tree = (
+        scorer.text_features,
+        scorer._temporal,
+        scorer._bn_state,
+        jnp.asarray(scorer._ncentroid),
+    )
+    score_leaves, score_treedef = tree_flatten(score_tree)
+
+    def score_flat(leaves, grids):
+        tf, tp, bn, nc = tree_unflatten(score_treedef, leaves)
+        with attention_impl("xla"):
+            return scorer._score.__wrapped__(tf, tp, bn, nc, grids)
+
+    (g,) = jexport.symbolic_shape("g", constraints=["g >= 1"])
+    leaf_specs = [jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype) for x in score_leaves]
+    grids_spec = jax.ShapeDtypeStruct((g, n, l, d), jnp.float32)
+    exported_score = _export_jit(
+        jax.jit(score_flat), (leaf_specs, grids_spec), allow_tpu_custom_call=False
+    )
+    (out / "score.bin").write_bytes(exported_score.serialize())
+    _save_leaves(out / "score_params.npz", score_leaves)
+
+    # ---- encode graph: static chunk, platform-native attention -------------
+    encode_meta = None
+    if include_encoder:
+        chunk = model.ENCODE_CHUNK
+        side = int(model.clip_cfg.image_resolution)
+        visual_view = {"clip": {"visual": frozen["clip"]["visual"]}}
+        enc_leaves, enc_treedef = tree_flatten(visual_view)
+
+        def encode_flat(leaves, frames):
+            view = tree_unflatten(enc_treedef, leaves)
+            return model.encode_frames(view, frames)
+
+        enc_specs = [
+            jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype) for x in enc_leaves
+        ]
+        frames_spec = jax.ShapeDtypeStruct((chunk, side, side, 3), jnp.float32)
+        # On TPU the traced graph embeds the fused Pallas kernel — a
+        # non-portable tpu_custom_call the export must explicitly permit.
+        on_tpu = jax.default_backend() == "tpu"
+        exported_enc = _export_jit(
+            jax.jit(encode_flat), (enc_specs, frames_spec), allow_tpu_custom_call=on_tpu
+        )
+        (out / "encode.bin").write_bytes(exported_enc.serialize())
+        _save_leaves(out / "encode_params.npz", enc_leaves)
+        encode_meta = {
+            "chunk": chunk,
+            "resolution": side,
+            "embed_dim": int(model.clip_cfg.embed_dim),
+            "platforms": list(exported_enc.platforms),
+        }
+
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "grid": {"num_segments": n, "seg_length": l, "feature_dim": d},
+        "normal_id": int(model.cfg.normal_id),
+        "classnames": list(classnames) if classnames else None,
+        "score_platforms": list(exported_score.platforms),
+        "encode": encode_meta,
+        "jax_version": __import__("jax").__version__,
+    }
+    (out / "meta.json").write_text(json.dumps(meta, indent=2))
+    return out
+
+
+class ServingArtifact:
+    """A loaded export: ``score`` + optional ``encode``, no model code needed."""
+
+    def __init__(self, meta: dict, score_exp, score_leaves, encode_exp, encode_leaves):
+        self.meta = meta
+        self._score_exp = score_exp
+        self._score_leaves = score_leaves
+        self._encode_exp = encode_exp
+        self._encode_leaves = encode_leaves
+
+    @classmethod
+    def load(cls, path: str | Path) -> "ServingArtifact":
+        from jax import export as jexport
+
+        p = Path(path)
+        meta = json.loads((p / "meta.json").read_text())
+        if meta["format_version"] > FORMAT_VERSION:
+            raise ValueError(
+                f"artifact format {meta['format_version']} is newer than this "
+                f"loader ({FORMAT_VERSION})"
+            )
+        score_exp = jexport.deserialize((p / "score.bin").read_bytes())
+        score_leaves = _load_leaves(p / "score_params.npz")
+        encode_exp = encode_leaves = None
+        if (p / "encode.bin").exists():
+            encode_exp = jexport.deserialize((p / "encode.bin").read_bytes())
+            encode_leaves = _load_leaves(p / "encode_params.npz")
+        return cls(meta, score_exp, score_leaves, encode_exp, encode_leaves)
+
+    # -- score ---------------------------------------------------------------
+
+    def score(self, grids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """grids (g, n, l, D) float32 -> (similarity (g*n*l, C-1), scores (g*n*l,)).
+
+        ``g`` is symbolic in the exported module: any grid count runs through
+        the one artifact (XLA still compiles per concrete shape at call time)."""
+        g = self.meta["grid"]
+        want = (g["num_segments"], g["seg_length"], g["feature_dim"])
+        if tuple(grids.shape[1:]) != want:
+            raise ValueError(f"grids shape {grids.shape[1:]} != exported {want}")
+        sim, sc = self._score_exp.call(
+            self._score_leaves, np.asarray(grids, np.float32)
+        )
+        return np.asarray(sim), np.asarray(sc)
+
+    # -- encode ----------------------------------------------------------------
+
+    def encode(self, frames: np.ndarray) -> np.ndarray:
+        """(N, H, W, 3) uint8 or CLIP-normalized float -> (N, D) features,
+        running the exported static-chunk graph (pad + trim, like
+        evaluator.encode_frames_chunked)."""
+        if self._encode_exp is None:
+            raise ValueError("artifact was exported without the encoder graph")
+        chunk = self.meta["encode"]["chunk"]
+        outs = []
+        for i in range(0, len(frames), chunk):
+            part = frames[i : i + chunk]
+            if part.dtype == np.uint8:
+                part = (part.astype(np.float32) / 255.0 - _CLIP_MEAN) / _CLIP_STD
+            part = np.asarray(part, np.float32)
+            pad = chunk - len(part)
+            if pad:
+                part = np.concatenate([part, np.repeat(part[:1], pad, axis=0)])
+            feats = np.asarray(self._encode_exp.call(self._encode_leaves, part))
+            outs.append(feats[: len(feats) - pad] if pad else feats)
+        return np.concatenate(outs)
+
+
+def main(argv=None) -> Path:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if any(a in ("trainer=cpu", "trainer.accelerator=cpu") for a in argv):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    os.environ.setdefault("PROJECT_ROOT", str(Path(__file__).resolve().parents[1]))
+
+    from anomalyclip_tpu.config import compose, default_config_dir
+
+    cfg = compose(default_config_dir(), "eval", argv)
+    if not cfg.get("data") or not cfg.get("model"):
+        raise SystemExit(
+            "export needs model/data groups, e.g.\n"
+            "  python -m anomalyclip_tpu.export model=anomaly_clip_ucfcrime "
+            "data=ucfcrime ckpt_path=... out=artifact/"
+        )
+    ckpt_path = cfg.get("ckpt_path")
+    out_dir = cfg.get("out")
+    if not ckpt_path or ckpt_path == "???" or not out_dir:
+        raise SystemExit("export requires ckpt_path=... and out=...")
+
+    from anomalyclip_tpu.models.anomaly_clip import read_classnames
+    from anomalyclip_tpu.predict import _resolve_ncentroid
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    module = AnomalyCLIPTrainModule(cfg)
+    state = module.load_state(ckpt_path)
+    ncentroid = _resolve_ncentroid(cfg, ckpt_path)
+    if ncentroid is not None:
+        module.ncentroid = ncentroid
+    else:
+        module.compute_ncentroid()
+
+    include_encoder = str(cfg.get("include_encoder", True)).lower() not in (
+        "false",
+        "0",
+    )
+    path = export_serving_artifact(
+        module.model,
+        module.frozen,
+        state.trainable,
+        state.bn_state,
+        module.ncentroid,
+        out_dir,
+        include_encoder=include_encoder,
+        classnames=read_classnames(module.datamodule.cfg.labels_file),
+    )
+    print(f"exported serving artifact -> {path}")
+    return path
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,17 @@ from anomalyclip_tpu.utils.logging import MetricLoggerSet, get_logger, is_host_z
 log = get_logger(__name__)
 
 
+class TrainingPreempted(RuntimeError):
+    """Raised after a SIGTERM-triggered checkpoint save (preemption recovery).
+
+    TPU-pod preemptions and maintenance events deliver SIGTERM with a grace
+    period; the reference (Lightning on GPUs) has no preemption story. fit()
+    saves the last *epoch-boundary* state as a regular checkpoint and raises
+    this, so `ckpt_path=<run>/checkpoints/last` resumes with exactly the same
+    semantics as any other epoch checkpoint (no partial-epoch optimizer state
+    is ever persisted)."""
+
+
 class TrainState(NamedTuple):
     trainable: Any
     opt_state: Any
@@ -556,6 +567,12 @@ class AnomalyCLIPTrainModule:
             loader = getattr(self, "_train_loader", None)
             if loader is not None and hasattr(loader, "close"):
                 loader.close()
+            old_sigterm = getattr(self, "_old_sigterm", None)
+            if old_sigterm is not None:
+                import signal as _signal
+
+                _signal.signal(_signal.SIGTERM, old_sigterm)
+                self._old_sigterm = None
 
     def _fit_body(self) -> Dict[str, Any]:
         cfg = self.cfg
@@ -638,6 +655,58 @@ class AnomalyCLIPTrainModule:
         key = jax.random.PRNGKey(self.seed + 17)
         last_val: Dict[str, Any] = {}
 
+        # ---- preemption safety -------------------------------------------
+        # TPU preemptions/maintenance deliver SIGTERM with a grace period. On
+        # receipt, persist the newest *epoch-boundary* state as a normal
+        # checkpoint and raise TrainingPreempted: resume via ckpt_path=.../last
+        # re-runs the interrupted epoch from its start (no partial-epoch
+        # optimizer state is saved, so resumed numerics equal an uninterrupted
+        # run of that epoch). Off switch: trainer.preempt_save=false.
+        import signal as _signal
+        import threading as _threading
+
+        preempt_flag = {"set": False}
+        if bool(trainer_cfg.get("preempt_save", True)) and (
+            _threading.current_thread() is _threading.main_thread()
+        ):
+
+            def _on_sigterm(signum, frame):
+                preempt_flag["set"] = True
+                log.warning(
+                    "SIGTERM received: will checkpoint the last epoch boundary "
+                    "and stop"
+                )
+
+            # restored by _fit's finally (survives any exception below)
+            self._old_sigterm = _signal.signal(_signal.SIGTERM, _on_sigterm)
+
+        # newest completed epoch boundary; holding the pytree reference keeps
+        # the (small: trainable+opt+BN) buffers alive one extra epoch
+        boundary_epoch, boundary_state = start_epoch - 1, state
+
+        def _handle_preempt(during_epoch: int) -> None:
+            if not preempt_flag["set"]:
+                return
+            if boundary_epoch >= 0 and is_host_zero():
+                self.ckpt.save_epoch(
+                    boundary_epoch,
+                    {
+                        "trainable": boundary_state.trainable,
+                        "opt_state": boundary_state.opt_state,
+                        "bn_state": boundary_state.bn_state,
+                        "step": np.asarray(boundary_state.step),
+                        "epoch": np.asarray(boundary_epoch),
+                    },
+                )
+                log.warning(
+                    f"preemption checkpoint saved at epoch {boundary_epoch}; "
+                    f"resume with ckpt_path={self.ckpt.ckpt_dir / 'last'}"
+                )
+            raise TrainingPreempted(
+                f"preempted during epoch {during_epoch} "
+                f"(saved boundary: epoch {boundary_epoch})"
+            )
+
         for epoch in range(start_epoch, max_epochs):
             train_loader.set_epoch(0 if overfit_batches else epoch)
             metric_sums = replicate(self._zero_metric_sums(), self.mesh)
@@ -646,12 +715,16 @@ class AnomalyCLIPTrainModule:
             for batch_idx, batch in enumerate(train_loader):
                 if batch_idx >= steps_per_epoch:
                     break
+                _handle_preempt(epoch)
                 key, step_key = jax.random.split(key)
                 state, metric_sums = train_step(
                     frozen, state, self._prepare_batch(batch), ncentroid, step_key,
                     metric_sums,
                 )
                 count += 1
+            # the epoch's steps all ran: this state is a resumable boundary
+            boundary_epoch, boundary_state = epoch, state
+            _handle_preempt(epoch)
             # single blocking device->host transfer per epoch
             epoch_metrics = {
                 k: float(v) / max(count, 1) for k, v in metric_sums.items()
@@ -722,6 +795,8 @@ class AnomalyCLIPTrainModule:
                         "epoch": np.asarray(epoch),
                     },
                 )
+
+            _handle_preempt(epoch)  # a SIGTERM during validation lands here
 
             if es_monitor and es_bad_epochs >= es_patience > 0:
                 log.info(

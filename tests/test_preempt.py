@@ -1,0 +1,96 @@
+"""Preemption-safe training (train/module.py TrainingPreempted).
+
+TPU-pod preemptions deliver SIGTERM with a grace period. fit() must save the
+newest epoch-boundary state as a normal checkpoint, raise TrainingPreempted,
+restore the previous SIGTERM handler, and resume cleanly from
+``checkpoints/last`` (a capability the Lightning reference lacks entirely).
+
+The signal is raised *in-process* from a hooked logger call, so delivery is
+deterministic (main thread, mid-fit, after epoch 0's train metrics)."""
+
+import signal
+
+import pytest
+
+from tests.helpers.synthetic_run import synthetic_cfg
+
+
+@pytest.mark.slow
+def test_sigterm_checkpoints_boundary_and_resumes(tmp_path):
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule, TrainingPreempted
+
+    sentinel_called = []
+
+    def sentinel(signum, frame):  # pragma: no cover - must NOT run
+        sentinel_called.append(signum)
+
+    old = signal.signal(signal.SIGTERM, sentinel)
+    try:
+        cfg = synthetic_cfg(tmp_path, "trainer.max_epochs=3")
+        module = AnomalyCLIPTrainModule(cfg)
+
+        orig_log = module.loggers.log_metrics
+
+        def hooked(metrics, step=None):
+            orig_log(metrics, step=step)
+            # deterministic "preemption" right after epoch 0's train metrics:
+            # fit's own handler is installed by now (we are inside the loop)
+            if step == 0 and "train/loss" in metrics:
+                signal.raise_signal(signal.SIGTERM)
+
+        module.loggers.log_metrics = hooked
+
+        with pytest.raises(TrainingPreempted, match="saved boundary: epoch 0"):
+            module.fit()
+
+        # fit restored our sentinel handler on the way out, without invoking it
+        assert signal.getsignal(signal.SIGTERM) is sentinel
+        assert not sentinel_called
+
+        ckpts = module.save_dir / "checkpoints"
+        assert (ckpts / "epoch_000").is_dir()
+        assert (ckpts / "last").is_dir()
+        restored = module.ckpt.restore(ckpts / "last")
+        assert int(restored["epoch"]) == 0
+
+        # resume from the preemption checkpoint: epoch 1 runs and lands on disk
+        cfg2 = synthetic_cfg(
+            tmp_path, "trainer.max_epochs=2", f"ckpt_path={ckpts / 'last'}"
+        )
+        module2 = AnomalyCLIPTrainModule(cfg2)
+        metrics = module2.fit()
+        assert "auc_roc" in metrics
+        assert (module2.save_dir / "checkpoints" / "epoch_001").is_dir()
+        resumed = module2.ckpt.restore(module2.save_dir / "checkpoints" / "epoch_001")
+        assert int(resumed["epoch"]) == 1
+        assert int(resumed["step"]) > int(restored["step"])
+    finally:
+        signal.signal(signal.SIGTERM, old)
+
+
+@pytest.mark.slow
+def test_preempt_save_off_switch(tmp_path, monkeypatch):
+    """trainer.preempt_save=false must leave the process's SIGTERM handler
+    alone (fast_dev_run keeps it to one step)."""
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    seen = []
+    old = signal.signal(signal.SIGTERM, lambda s, f: seen.append(s))
+    try:
+        cfg = synthetic_cfg(
+            tmp_path, "trainer.fast_dev_run=True", "trainer.preempt_save=false"
+        )
+        module = AnomalyCLIPTrainModule(cfg)
+
+        installed = []
+        orig_signal = signal.signal
+
+        def spy(signum, handler):
+            installed.append(signum)
+            return orig_signal(signum, handler)
+
+        monkeypatch.setattr(signal, "signal", spy)
+        module.fit()
+        assert signal.SIGTERM not in installed
+    finally:
+        signal.signal(signal.SIGTERM, old)
