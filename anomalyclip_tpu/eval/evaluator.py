@@ -179,24 +179,31 @@ class VideoScores:
     path: str
 
 
-def score_video(item: TestItem, scorer: GridScorer, model: AnomalyCLIP) -> VideoScores:
-    """Score one test video, reproducing the reference's output exactly
-    (anomaly_clip.py:117-154 + the trim in anomaly_clip_module.py:479-483)."""
-    cfg = model.cfg
-    n, l, s = cfg.num_segments, cfg.seg_length, item.segment_size
-    feats = item.features  # (ncrops, n*s*l, D) or frames (ncrops, n*s*l, H, W, 3)
-    if feats.ndim == 5:
-        ncrops, t = feats.shape[:2]
-        flat = feats.reshape((-1,) + feats.shape[2:])
-        feats = scorer.encode_frames_np(flat).reshape(ncrops, t, -1)
+def score_sampled_features(
+    feats: np.ndarray,
+    segment_size: int,
+    num_segments: int,
+    seg_length: int,
+    stride: int,
+    num_labels: int,
+    score_grids: Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray]],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The pure host-side half of per-video scoring: grid layout, crop
+    consensus, stride expansion, trim, softmax. ``feats`` is (ncrops, n*s*l, D)
+    test-sampled features; ``score_grids`` maps (G, n, l, D) -> the flat
+    (similarity (G*n*l, C-1), scores (G*n*l,)) device outputs. Shared by
+    `score_video` (GridScorer buckets) and the exported `ServingArtifact`
+    (shape-polymorphic graph) so both produce identical outputs by
+    construction. Returns (similarity (T, C-1), scores (T,), class_probs)."""
     ncrops, t, d = feats.shape
+    n, l, s = num_segments, seg_length, segment_size
     assert t == n * s * l, (t, n, s, l)
 
     # (ncrops, n, s, l, D) -> (ncrops*s, n, l, D): grids in (crop-major, s) order
     grids = (
         feats.reshape(ncrops, n, s, l, d).transpose(0, 2, 1, 3, 4).reshape(ncrops * s, n, l, d)
     )
-    similarity, scores = scorer.score_grids(grids)
+    similarity, scores = score_grids(grids)
 
     # invert to the reference's flat (ncrops, n, s, l) frame order
     c_abn = similarity.shape[-1]
@@ -214,17 +221,36 @@ def score_video(item: TestItem, scorer: GridScorer, model: AnomalyCLIP) -> Video
     sim = sim.mean(axis=0)
     sc = sc.mean(axis=0)
 
-    # frame-rate expansion by stride (anomaly_clip.py:149-152)
-    sim = np.repeat(sim, cfg.stride, axis=0)
-    sc = np.repeat(sc, cfg.stride, axis=0)
+    # frame-rate expansion by stride (anomaly_clip.py:149-152), then trim
+    # padding (anomaly_clip_module.py:479-483)
+    sim = np.repeat(sim, stride, axis=0)[:num_labels]
+    sc = np.repeat(sc, stride, axis=0)[:num_labels]
 
-    # softmax over classes, joint probs, trim padding (anomaly_clip_module.py:473-482)
-    num_labels = len(item.frame_labels)
-    sim = sim[:num_labels]
-    sc = sc[:num_labels]
+    # softmax over classes, joint probs (anomaly_clip_module.py:473-482)
     e = np.exp(sim - sim.max(axis=1, keepdims=True))
-    softmax_sim = e / e.sum(axis=1, keepdims=True)
-    class_probs = softmax_sim * sc[:, None]
+    class_probs = (e / e.sum(axis=1, keepdims=True)) * sc[:, None]
+    return sim, sc, class_probs
+
+
+def score_video(item: TestItem, scorer: GridScorer, model: AnomalyCLIP) -> VideoScores:
+    """Score one test video, reproducing the reference's output exactly
+    (anomaly_clip.py:117-154 + the trim in anomaly_clip_module.py:479-483)."""
+    cfg = model.cfg
+    feats = item.features  # (ncrops, n*s*l, D) or frames (ncrops, n*s*l, H, W, 3)
+    if feats.ndim == 5:
+        ncrops, t = feats.shape[:2]
+        flat = feats.reshape((-1,) + feats.shape[2:])
+        feats = scorer.encode_frames_np(flat).reshape(ncrops, t, -1)
+
+    sim, sc, class_probs = score_sampled_features(
+        feats,
+        item.segment_size,
+        cfg.num_segments,
+        cfg.seg_length,
+        cfg.stride,
+        len(item.frame_labels),
+        scorer.score_grids,
+    )
 
     return VideoScores(
         similarity=sim,

@@ -200,7 +200,12 @@ def export_serving_artifact(
 
     meta = {
         "format_version": FORMAT_VERSION,
-        "grid": {"num_segments": n, "seg_length": l, "feature_dim": d},
+        "grid": {
+            "num_segments": n,
+            "seg_length": l,
+            "feature_dim": d,
+            "stride": int(model.cfg.stride),
+        },
         "normal_id": int(model.cfg.normal_id),
         "classnames": list(classnames) if classnames else None,
         "score_platforms": list(exported_score.platforms),
@@ -277,6 +282,65 @@ class ServingArtifact:
             feats = np.asarray(self._encode_exp.call(self._encode_leaves, part))
             outs.append(feats[: len(feats) - pad] if pad else feats)
         return np.concatenate(outs)
+
+    # -- full per-video scoring (the predict/serve contract) --------------------
+
+    def score_video(
+        self, raw: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Score one video end-to-end from the artifact alone.
+
+        ``raw`` is (ncrops, T, D) pre-extracted features or (ncrops, T, H, W, 3)
+        frames (uint8 or CLIP-normalized float; needs the encoder graph).
+        Runs the same pipeline as the evaluator — test-time covering sampling,
+        grid layout, crop consensus, stride expansion, trim, softmax
+        (eval/evaluator.py:score_sampled_features, shared code) — but through
+        the exported graphs, so no model construction or checkpoint is needed.
+        Returns (similarity (T, C-1), scores (T,), class_probs (T, C-1))."""
+        from anomalyclip_tpu.data.sampling import (
+            gather_frame_indices,
+            test_start_indices,
+        )
+        from anomalyclip_tpu.eval.evaluator import score_sampled_features
+
+        g = self.meta["grid"]
+        n, l, stride = g["num_segments"], g["seg_length"], g["stride"]
+        t_raw = raw.shape[1]
+        starts, segment_size = test_start_indices(t_raw, n, l, stride)
+        indices = gather_frame_indices(starts, l, stride, t_raw)
+        feats = raw[:, indices]
+        if feats.ndim == 5:
+            ncrops, t = feats.shape[:2]
+            flat = feats.reshape((-1,) + feats.shape[2:])
+            feats = self.encode(flat).reshape(ncrops, t, -1)
+        feats = np.asarray(feats, np.float32)
+        return score_sampled_features(
+            feats, segment_size, n, l, stride, t_raw, self.score
+        )
+
+    def predict(self, raw: np.ndarray, path: str = "") -> dict:
+        """score_video + the predict.py output schema (same keys/values as the
+        checkpoint-backed CLI, predict.py:score_input)."""
+        classnames = self.meta.get("classnames")
+        if not classnames:
+            raise ValueError(
+                "artifact was exported without classnames; re-export passing "
+                "classnames= to export_serving_artifact"
+            )
+        _, sc, class_probs = self.score_video(raw)
+        normal_id = int(self.meta["normal_id"])
+        abnormal_names = [c for i, c in enumerate(classnames) if i != normal_id]
+        top_col = class_probs.argmax(axis=1)
+        return {
+            "input": path,
+            "num_frames": int(raw.shape[1]),
+            "video_anomaly_score": float(sc.max()),
+            "frame_scores": np.round(sc, 6).tolist(),
+            "frame_top_class": [abnormal_names[int(c)] for c in top_col],
+            "frame_top_class_prob": np.round(class_probs.max(axis=1), 6).tolist(),
+            "classnames_abnormal": abnormal_names,
+            "class_probs_shape": list(class_probs.shape),
+        }
 
 
 def main(argv=None) -> Path:

@@ -17,6 +17,13 @@ Input forms:
 The normality centroid resolves from ``ncentroid_path=``, else ``ncentroid.npy``
 next to the checkpoint's run dir, else it is recomputed from the configured
 training data (reference: anomaly_clip_module.py:406-445).
+
+Artifact mode — score from an exported serving artifact (export.py) with no
+config tree, model construction, or checkpoint; the artifact's graphs + meta
+are the whole contract:
+
+    python -m anomalyclip_tpu.predict artifact=<dir> input=<video | frames | .npy> \
+        [output=...] [ncrops=1] [image_tmpl={:06d}.jpg] [fast_decode=false]
 """
 
 from __future__ import annotations
@@ -84,6 +91,12 @@ def _load_input(path: Path, data_cfg, input_size: int) -> np.ndarray:
         feats = np.asarray(np.load(path), dtype=np.float32)
         ncrops = int(data_cfg.get("ncrops", 1))
         return feats.reshape(-1, ncrops, feats.shape[-1]).transpose(1, 0, 2)
+    if not input_size:
+        # artifact mode without an encoder graph: only .npy features scoreable
+        raise ValueError(
+            f"raw-frame input {path} needs an encoder — export the artifact "
+            "with include_encoder=true (feature .npy inputs work without it)"
+        )
     if path.is_dir():
         tmpl = data_cfg.get("image_tmpl", "{:06d}.jpg")
         n = count_frames(path, tmpl)
@@ -122,6 +135,54 @@ def _resolve_ncentroid(cfg, ckpt_path: str):
         if cand.is_file():
             return np.load(cand).astype(np.float32)
     return None
+
+
+def _emit_result(result: dict, out) -> None:
+    """Write the predictions dict to ``output=`` or print the summary keys."""
+    if out:
+        Path(out).parent.mkdir(parents=True, exist_ok=True)
+        Path(out).write_text(json.dumps(result))
+        print(f"wrote {out}", file=sys.stderr)
+    else:
+        print(json.dumps({k: v for k, v in result.items()
+                          if k not in ("frame_scores", "frame_top_class",
+                                       "frame_top_class_prob")}))
+
+
+def predict_from_artifact(kv: dict) -> dict:
+    """Config-free inference from an exported serving artifact (export.py
+    ServingArtifact): accepts the same input forms as main(), but needs no
+    model code, checkpoint, or config tree."""
+    from collections import Counter
+
+    from anomalyclip_tpu.export import ServingArtifact
+
+    input_path = kv.get("input")
+    if not input_path:
+        raise SystemExit("predict requires artifact=<dir> input=<path>")
+    art = ServingArtifact.load(kv["artifact"])
+    data_cfg = {
+        "ncrops": int(kv.get("ncrops", 1)),
+        "image_tmpl": kv.get("image_tmpl", "{:06d}.jpg"),
+        "fast_decode": str(kv.get("fast_decode", "false")).lower() in ("true", "1"),
+    }
+    p = Path(input_path)
+    enc = art.meta.get("encode")
+    if p.suffix != ".npy" and enc is None:
+        raise SystemExit(
+            "this artifact has no encoder graph — raw-frame inputs need "
+            "include_encoder=true at export time (feature .npy inputs work)"
+        )
+    raw = _load_input(p, data_cfg, int(enc["resolution"]) if enc else 0)
+    result = art.predict(raw, str(input_path))
+    _emit_result(result, kv.get("output"))
+    top = Counter(result["frame_top_class"]).most_common(1)[0][0]
+    print(
+        f"{input_path}: {result['num_frames']} frames, max score "
+        f"{result['video_anomaly_score']:.4f}, top class {top}",
+        file=sys.stderr,
+    )
+    return result
 
 
 def score_input(module, state, raw: np.ndarray, path: str):
@@ -171,6 +232,9 @@ def score_input(module, state, raw: np.ndarray, path: str):
 
 def main(argv=None) -> dict:
     argv = list(sys.argv[1:] if argv is None else argv)
+    kv = dict(a.split("=", 1) for a in argv if "=" in a)
+    if "artifact" in kv:
+        return predict_from_artifact(kv)
     if any(a in ("trainer=cpu", "trainer.accelerator=cpu") for a in argv):
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
@@ -225,15 +289,7 @@ def main(argv=None) -> dict:
         )
         viz.process_video(vs)
 
-    out = cfg.get("output")
-    if out:
-        Path(out).parent.mkdir(parents=True, exist_ok=True)
-        Path(out).write_text(json.dumps(result))
-        print(f"wrote {out}", file=sys.stderr)
-    else:
-        print(json.dumps({k: v for k, v in result.items()
-                          if k not in ("frame_scores", "frame_top_class",
-                                       "frame_top_class_prob")}))
+    _emit_result(result, cfg.get("output"))
     top_col = vs.class_probs.argmax(axis=1)
     print(
         f"{input_path}: {t_raw} frames, max score "

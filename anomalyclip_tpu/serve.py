@@ -14,6 +14,9 @@ pipeline hides whichever is cheaper):
     # watch a directory, scoring new videos as they appear
     python -m anomalyclip_tpu.serve ... watch=incoming/ poll_interval=2
 
+    # deploy from an exported serving artifact: no config/ckpt/model code
+    python -m anomalyclip_tpu.serve artifact=<dir> watch=incoming/ output_dir=scores/
+
 Inputs are anything predict.py accepts (video file / frames dir / feature
 .npy); one ``<stem>.json`` per input lands in ``output_dir`` with the same
 schema as predict.py's output. Scores are bit-identical to eval.py's: the same
@@ -86,37 +89,61 @@ def _iter_watch(root: Path, poll_interval: float, stop_after: float):
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    if any(a in ("trainer=cpu", "trainer.accelerator=cpu") for a in argv):
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
+    kv = dict(a.split("=", 1) for a in argv if "=" in a)
+    if "artifact" in kv:
+        # deployment mode: the exported artifact is the whole contract — no
+        # config tree, checkpoint, or model construction (export.py)
+        from anomalyclip_tpu.export import ServingArtifact
 
-        jax.config.update("jax_platforms", "cpu")
-    os.environ.setdefault("PROJECT_ROOT", str(Path(__file__).resolve().parents[1]))
+        art = ServingArtifact.load(kv["artifact"])
+        data_cfg = {
+            "ncrops": int(kv.get("ncrops", 1)),
+            "image_tmpl": kv.get("image_tmpl", "{:06d}.jpg"),
+            "fast_decode": str(kv.get("fast_decode", "false")).lower()
+            in ("true", "1"),
+        }
+        enc = art.meta.get("encode")
+        input_size = int(enc["resolution"]) if enc else 0
+        cfg = kv
+        score_fn = art.predict
+    else:
+        if any(a in ("trainer=cpu", "trainer.accelerator=cpu") for a in argv):
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            import jax
 
-    from anomalyclip_tpu.config import compose, default_config_dir
-
-    cfg = compose(default_config_dir(), "eval", argv)
-    ckpt_path = cfg.get("ckpt_path")
-    if not cfg.get("data") or not cfg.get("model") or not ckpt_path or ckpt_path == "???":
-        raise SystemExit(
-            "serve needs model=... data=... ckpt_path=... "
-            "[watch=<dir> | paths on stdin] [output_dir=...]"
+            jax.config.update("jax_platforms", "cpu")
+        os.environ.setdefault(
+            "PROJECT_ROOT", str(Path(__file__).resolve().parents[1])
         )
 
-    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+        from anomalyclip_tpu.config import compose, default_config_dir
 
-    module = AnomalyCLIPTrainModule(cfg)
-    state = module.load_state(ckpt_path)
-    ncentroid = _resolve_ncentroid(cfg, ckpt_path)
-    if ncentroid is not None:
-        module.ncentroid = ncentroid
-    else:
-        module.compute_ncentroid()
+        cfg = compose(default_config_dir(), "eval", argv)
+        ckpt_path = cfg.get("ckpt_path")
+        if not cfg.get("data") or not cfg.get("model") or not ckpt_path or ckpt_path == "???":
+            raise SystemExit(
+                "serve needs model=... data=... ckpt_path=... (or artifact=<dir>) "
+                "[watch=<dir> | paths on stdin] [output_dir=...]"
+            )
 
-    data_cfg = cfg["data"]
+        from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+        module = AnomalyCLIPTrainModule(cfg)
+        state = module.load_state(ckpt_path)
+        ncentroid = _resolve_ncentroid(cfg, ckpt_path)
+        if ncentroid is not None:
+            module.ncentroid = ncentroid
+        else:
+            module.compute_ncentroid()
+
+        data_cfg = cfg["data"]
+        input_size = int(module.model.clip_cfg.image_resolution)
+
+        def score_fn(raw, path):
+            return score_input(module, state, raw, path)[1]
+
     out_dir = Path(cfg.get("output_dir") or "predictions")
     out_dir.mkdir(parents=True, exist_ok=True)
-    input_size = int(module.model.clip_cfg.image_resolution)
 
     watch = cfg.get("watch")
     paths = (
@@ -143,21 +170,22 @@ def main(argv=None) -> int:
                 continue
             path, fut = pending
             pending = submit(p)
-            _finish(module, state, path, fut, out_dir)
+            _finish(score_fn, path, fut, out_dir)
             n_done += 1
         if pending is not None:
             path, fut = pending
-            _finish(module, state, path, fut, out_dir)
+            _finish(score_fn, path, fut, out_dir)
             n_done += 1
     dt = time.time() - t0
     print(f"served {n_done} inputs in {dt:.1f}s", file=sys.stderr)
     return 0
 
 
-def _finish(module, state, path: Path, fut, out_dir: Path) -> None:
+def _finish(score_fn, path: Path, fut, out_dir: Path) -> None:
+    """score_fn: (raw, path) -> predictions dict (checkpoint- or artifact-backed)."""
     try:
         raw = fut.result()
-        _, result = score_input(module, state, raw, str(path))
+        result = score_fn(raw, str(path))
     except Exception as e:  # one bad input must not kill the service
         print(f"ERROR {path}: {type(e).__name__}: {e}", file=sys.stderr)
         return

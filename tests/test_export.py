@@ -94,3 +94,91 @@ def test_score_shape_guard(exported):
     art = ServingArtifact.load(out)
     with pytest.raises(ValueError, match="exported"):
         art.score(np.zeros((2, 3, 3, 7), np.float32))
+
+
+def _reference_video_scores(model, scorer, raw):
+    """The checkpoint-backed per-video pipeline (predict.score_input's core):
+    test-time sampling + evaluator.score_video on a TestItem."""
+    from anomalyclip_tpu.data.dataset import TestItem
+    from anomalyclip_tpu.data.sampling import gather_frame_indices, test_start_indices
+    from anomalyclip_tpu.eval.evaluator import score_video
+
+    t_raw = raw.shape[1]
+    cfg = model.cfg
+    starts, segment_size = test_start_indices(
+        t_raw, cfg.num_segments, cfg.seg_length, cfg.stride
+    )
+    indices = gather_frame_indices(starts, cfg.seg_length, cfg.stride, t_raw)
+    item = TestItem(
+        features=raw[:, indices],
+        frame_labels=np.full(t_raw, int(model.cfg.normal_id), dtype=np.int64),
+        video_label=int(model.cfg.normal_id),
+        segment_size=segment_size,
+        path="x",
+    )
+    return score_video(item, scorer, model)
+
+
+def test_artifact_score_video_matches_evaluator_features(exported):
+    """Full per-video scoring from the artifact alone == the evaluator pipeline,
+    at a length that exercises covering-pad + trim."""
+    model, _, scorer, out = exported
+    art = ServingArtifact.load(out)
+    rng = np.random.default_rng(3)
+    t_raw = 77  # not a multiple of n*l: forces sampling pad + output trim
+    raw = rng.standard_normal((1, t_raw, model.embedding_dim)).astype(np.float32)
+
+    vs = _reference_video_scores(model, scorer, raw)
+    sim, sc, probs = art.score_video(raw)
+    assert sim.shape == vs.similarity.shape and sc.shape == (t_raw,)
+    np.testing.assert_allclose(sim, vs.similarity, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(sc, vs.scores, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(probs, vs.class_probs, rtol=1e-4, atol=1e-5)
+
+
+def test_artifact_score_video_matches_evaluator_frames(exported):
+    """The from-frames branch (exported encoder feeding the score graph)."""
+    model, _, scorer, out = exported
+    art = ServingArtifact.load(out)
+    side = int(model.clip_cfg.image_resolution)
+    rng = np.random.default_rng(4)
+    t_raw = 37
+    raw = rng.integers(0, 256, (1, t_raw, side, side, 3), dtype=np.uint8)
+
+    vs = _reference_video_scores(model, scorer, raw)
+    sim, sc, probs = art.score_video(raw)
+    np.testing.assert_allclose(sim, vs.similarity, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(sc, vs.scores, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(probs, vs.class_probs, rtol=1e-3, atol=1e-4)
+
+
+def test_predict_and_serve_artifact_mode(exported, tmp_path, monkeypatch):
+    """The config-free CLI surfaces: predict artifact=... and serve artifact=...
+    produce the standard predictions schema from a feature .npy."""
+    import io
+    import json as _json
+
+    from anomalyclip_tpu.predict import main as predict_main
+    from anomalyclip_tpu.serve import main as serve_main
+
+    model, _, _, out = exported
+    art = ServingArtifact.load(out)
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((50, model.embedding_dim)).astype(np.float32)
+    npy = tmp_path / "cam.npy"
+    np.save(npy, feats)
+    want = art.predict(feats[None], str(npy))
+    assert want["num_frames"] == 50
+    assert len(want["frame_scores"]) == 50
+    assert all(0.0 <= s <= 1.0 for s in want["frame_scores"])
+    assert want["classnames_abnormal"] == ["alpha", "beta", "omega"]
+
+    out_json = tmp_path / "pred.json"
+    got = predict_main([f"artifact={out}", f"input={npy}", f"output={out_json}"])
+    assert got == want
+    assert _json.loads(out_json.read_text()) == want
+
+    served_dir = tmp_path / "served"
+    monkeypatch.setattr("sys.stdin", io.StringIO(f"{npy}\n"))
+    assert serve_main([f"artifact={out}", f"output_dir={served_dir}"]) == 0
+    assert _json.loads((served_dir / "cam.json").read_text()) == want

@@ -19,7 +19,10 @@ the same converted weights as the JAX pipeline, and asserting:
   (d) the from-frames branches (load_from_features=False): raw pixel tensors
       through CLIP-visual encoding and the "(b ncrops n [s] l) d" rearranges
       into the same pipeline, train and test mode (anomaly_clip.py:117-131,
-      156-169).
+      156-169);
+  (e) optimization: three full train steps (forward, loss, backward, AdamW
+      with the reference's per-group LRs) yield the same per-step losses and
+      the same updated weights (anomaly_clip_module.py:203-244, 693-746).
 
 Weights flow reference -> JAX through the production converter
 (convert_ckpt.convert_lightning_checkpoint via module.load_state), so this also
@@ -471,6 +474,168 @@ def test_process_feat_matches_reference(pipeline, monkeypatch, t, length):
     feat = np.random.default_rng(3).standard_normal((t, 16)).astype(np.float32)
     np.testing.assert_allclose(
         process_feat(feat, length), ref_fn(feat, length), rtol=1e-6, atol=1e-6
+    )
+
+
+@pytest.mark.slow
+def test_multi_step_training_updates_match(pipeline, ncentroids, tmp_path):
+    """(e) OPTIMIZATION parity: three full train steps — forward, 7-term loss,
+    backward, AdamW update with the reference's per-group LRs, BN running-stat
+    evolution — produce the same per-step losses and the same updated weights
+    on both frameworks (anomaly_clip_module.py:203-244 training_step,
+    693-746 configure_optimizers; our side runs the production jitted
+    train_step + optax optimizer, train/module.py:_build_train_step +
+    train/optim.py:build_optimizer).
+
+    Step-k losses depend on step-(k-1)'s updated parameters, so agreement over
+    three steps pins the entire gradient + optimizer chain, not one forward.
+    Warmup is disabled on both sides (the reference's epoch-0 warmup LR is 0,
+    which would make every update a no-op); updated torch weights flow back
+    through the production converter for the final tree-wide comparison."""
+    import copy
+
+    from anomalyclip_tpu.train.module import TrainState
+    from anomalyclip_tpu.train.optim import build_optimizer
+    from tests.helpers.reference_oracle import load_reference_loss
+
+    cfg = pipeline["cfg"]
+    module = pipeline["module"]
+    net = pipeline["net"]
+    ref_nc, _ = ncentroids
+    n = int(cfg.model.net.num_segments)
+    l = int(cfg.model.net.seg_length)
+    normal_id = int(cfg.data.normal_id)
+    d = net.embedding_dim
+    half = 4
+    solver = dict(cfg.model.solver)
+    base_lr = 1e-3  # large enough that 3 steps move weights well above fp32 noise
+    opt_cfg = dict(cfg.model.get("optimizer", {}))
+    wd = float(opt_cfg.get("weight_decay", 0.2))
+
+    rng = np.random.default_rng(77)
+    abn_classes = [c for c in range(int(cfg.data.num_classes)) if c != normal_id]
+    batches = []
+    for k in range(3):
+        feats = rng.standard_normal((2 * half, n * l, d)).astype(np.float32)
+        labels = np.array(
+            [abn_classes[(k + i) % len(abn_classes)] for i in range(half)]
+            + [normal_id] * half,
+            dtype=np.int64,
+        )
+        batches.append((feats, labels))
+
+    # --- torch: the reference's optimizer over the reference's composed net ----
+    tnet = copy.deepcopy(net).train()
+    for p in tnet.image_encoder.parameters():
+        p.requires_grad_(False)
+    for p in tnet.text_encoder.parameters():
+        p.requires_grad_(False)
+    tnet.text_encoder.text_projection.requires_grad_(True)
+    for p in tnet.token_embedding.parameters():
+        p.requires_grad_(False)
+    groups = [  # the four groups of configure_optimizers, same order/ratios
+        {"params": list(tnet.selector_model.parameters()),
+         "lr": base_lr * float(solver.get("selector_model_ratio", 1))},
+        {"params": list(tnet.temporal_model.parameters()),
+         "lr": base_lr * float(solver.get("temporal_model_ratio", 1))},
+        {"params": list(tnet.prompt_learner.parameters()),
+         "lr": base_lr * float(solver.get("prompt_learner_ratio", 1))},
+        {"params": [tnet.text_encoder.text_projection],
+         "lr": base_lr * float(solver.get("text_projection_ratio", 1))},
+    ]
+    opt = torch.optim.AdamW(groups, weight_decay=wd)
+
+    loss_kwargs = {
+        k: v
+        for k, v in dict(cfg.model.loss).items()
+        if k in ("normal_id", "num_topk", "lambda_dir_abn", "lambda_dir_nor",
+                 "lambda_topk_abn", "lambda_bottomk_abn", "lambda_topk_nor",
+                 "lambda_smooth", "lambda_sparse", "frames_per_segment",
+                 "num_segments")
+    }
+    criterion = load_reference_loss().ComputeLoss(**loss_kwargs)
+
+    ref_losses = []
+    for feats, labels in batches:
+        opt.zero_grad()
+        t_out = tnet(
+            torch.from_numpy(feats[:, None]),  # (b, ncrops=1, t, d)
+            torch.from_numpy(labels),
+            ref_nc,
+        )
+        terms = criterion(
+            t_out[0], t_out[1], torch.from_numpy(labels), t_out[2],
+            t_out[3], t_out[4], t_out[5],
+        )
+        terms[0].backward()
+        opt.step()
+        ref_losses.append(float(terms[0].detach()))
+
+    # --- ours: the production train step + optimizer, warmup disabled ----------
+    from anomalyclip_tpu.data.loader import TrainBatch
+
+    solver_ours = dict(solver)
+    solver_ours["lr"] = base_lr
+    sched = dict(cfg.model.get("scheduler", {}))
+    sched["warmup_epochs"] = 0
+    tx = build_optimizer(solver_ours, opt_cfg, sched, steps_per_epoch=1000)
+    state = TrainState(
+        trainable=pipeline["state"].trainable,
+        opt_state=tx.init(pipeline["state"].trainable),
+        bn_state=pipeline["state"].bn_state,
+        step=jnp.zeros((), jnp.int32),
+    )
+    train_step = module._build_train_step(tx)
+
+    our_losses = []
+    for feats, labels in batches:
+        batch = TrainBatch(
+            abnormal_features=feats[:half],
+            abnormal_labels=labels[:half],
+            normal_features=feats[half:],
+            normal_labels=labels[half:],
+        )
+        sums = module._zero_metric_sums()
+        state, sums = train_step(
+            module.frozen, state, batch, jnp.asarray(ref_nc.numpy()),
+            jax.random.PRNGKey(0), sums,
+        )
+        our_losses.append(float(sums["train/loss"]))
+
+    # per-step losses: steps 2 and 3 see the previous updates on both sides
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-4, atol=1e-5)
+    assert abs(our_losses[0] - our_losses[-1]) > 1e-4, "optimizer did nothing"
+
+    # updated weights: push the trained torch net through the production
+    # converter and compare the entire trainable tree + BN running stats
+    ckpt = fo.lightning_checkpoint_from_net(tnet, tmp_path / "after3.ckpt")
+    ref_state = module.load_state(str(ckpt))
+
+    flat_ours = jax.tree_util.tree_leaves_with_path(state.trainable)
+    flat_ref = dict(jax.tree_util.tree_leaves_with_path(ref_state.trainable))
+    assert len(flat_ours) == len(flat_ref)
+    # Tolerance note: Adam normalizes updates by sqrt(v̂)+eps, so where the
+    # true gradient of an element is ~0 the update direction is the SIGN of
+    # fp32 rounding noise — a framework-disagreeing element legitimately moves
+    # up to lr per step regardless of gradient magnitude. Observed: ~1e-5 of
+    # elements off by up to ~0.6*lr after 3 steps, everything else exact.
+    # Assert two tiers: every element within ~1.5 lr of drift, and >=99.9%
+    # at tight fp32 tolerance.
+    for path, leaf in flat_ours:
+        ours_a = np.asarray(leaf)
+        ref_a = np.asarray(flat_ref[path])
+        name = jax.tree_util.keystr(path)
+        diff = np.abs(ours_a - ref_a)
+        np.testing.assert_array_less(diff.max(), 1.5 * base_lr, err_msg=name)
+        tight = diff <= 5e-5 + 1e-3 * np.abs(ref_a)
+        assert tight.mean() >= 0.999, (name, float(1 - tight.mean()))
+    np.testing.assert_allclose(
+        np.asarray(state.bn_state.mean), np.asarray(ref_state.bn_state.mean),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.bn_state.var), np.asarray(ref_state.bn_state.var),
+        rtol=1e-5, atol=1e-6,
     )
 
 

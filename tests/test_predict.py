@@ -43,6 +43,10 @@ def test_predict_features_and_frames(tmp_path):
         "data.synthetic_min_frames=520",
         "data.synthetic_max_frames=560",
         f"data.frames_root={froot}",
+        # annotations_root must follow frames_root: with only one of the two
+        # overridden, the other falls back to the global default and the
+        # synthetic generator (correctly) refuses the split, stampless layout
+        f"data.annotations_root={cfg['data']['annotations_root']}",
         f"ckpt_path={ckpt}",
         f"paths.output_dir={tmp_path / 'pred_out'}",
     ]

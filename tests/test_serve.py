@@ -35,6 +35,8 @@ def test_serve_stdin_and_watch(tmp_path, monkeypatch):
     common = [
         "experiment=synthetic",
         f"data.frames_root={froot}",
+        # keep both roots on the generated corpus (see test_predict.py)
+        f"data.annotations_root={cfg['data']['annotations_root']}",
         f"ckpt_path={ckpt}",
     ]
     inputs = [f"{froot}/abnormal_000.npy", f"{froot}/normal_000.npy"]
