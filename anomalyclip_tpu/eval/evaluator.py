@@ -45,6 +45,20 @@ def bucket_size(g: int, buckets: Tuple[int, ...]) -> int:
 
 DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
+
+def pad_to_bucket(
+    grids: np.ndarray, buckets: Tuple[int, ...] = DEFAULT_BUCKETS
+) -> Tuple[np.ndarray, int]:
+    """Zero-pad the grid batch up to its bucket size -> (padded grids, true g).
+    Shared by GridScorer and the exported ServingArtifact so both serve a whole
+    dataset with a handful of compilations instead of one per video length."""
+    g = grids.shape[0]
+    gb = bucket_size(g, buckets)
+    if gb != g:
+        pad = np.zeros((gb - g,) + grids.shape[1:], dtype=grids.dtype)
+        grids = np.concatenate([grids, pad], axis=0)
+    return grids, g
+
 # one static shape for every chunked frame-encoding pass; MUST be the model's
 # own chunk so encode_frames sees exactly one lax.map dispatch per host chunk
 ENCODE_CHUNK = AnomalyCLIP.ENCODE_CHUNK
@@ -150,11 +164,7 @@ class GridScorer:
 
     def score_grids(self, grids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Pad the grid batch to a bucket, score, trim."""
-        g = grids.shape[0]
-        gb = bucket_size(g, self.buckets)
-        if gb != g:
-            pad = np.zeros((gb - g,) + grids.shape[1:], dtype=grids.dtype)
-            grids = np.concatenate([grids, pad], axis=0)
+        grids, g = pad_to_bucket(grids, self.buckets)
         similarity, scores = self._score(
             self.text_features,
             self._temporal,

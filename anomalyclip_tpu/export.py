@@ -59,11 +59,6 @@ import numpy as np
 
 FORMAT_VERSION = 1
 
-# CLIP preprocessing constants (data/sources.py normalize_frames; duplicated
-# here so a loaded artifact never imports the data layer)
-_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
-_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
-
 
 def _save_leaves(path: Path, leaves: Sequence) -> None:
     """npz-serialize arrays, spelling bf16 as a uint16 view (npz has no bf16)."""
@@ -217,14 +212,22 @@ def export_serving_artifact(
 
 
 class ServingArtifact:
-    """A loaded export: ``score`` + optional ``encode``, no model code needed."""
+    """A loaded export: ``score`` + optional ``encode``, no model code needed
+    (only this module plus the package's pure-numpy sampling/layout helpers)."""
 
     def __init__(self, meta: dict, score_exp, score_leaves, encode_exp, encode_leaves):
+        import jax
+
         self.meta = meta
         self._score_exp = score_exp
         self._score_leaves = score_leaves
         self._encode_exp = encode_exp
         self._encode_leaves = encode_leaves
+        # Exported.call re-traces its wrapper on every invocation (~tens of ms
+        # of host overhead); jit once here so warm calls hit the executable
+        # cache directly (one compile per concrete shape, as usual)
+        self._score_call = jax.jit(score_exp.call)
+        self._encode_call = jax.jit(encode_exp.call) if encode_exp is not None else None
 
     @classmethod
     def load(cls, path: str | Path) -> "ServingArtifact":
@@ -256,32 +259,26 @@ class ServingArtifact:
         want = (g["num_segments"], g["seg_length"], g["feature_dim"])
         if tuple(grids.shape[1:]) != want:
             raise ValueError(f"grids shape {grids.shape[1:]} != exported {want}")
-        sim, sc = self._score_exp.call(
-            self._score_leaves, np.asarray(grids, np.float32)
-        )
+        sim, sc = self._score_call(self._score_leaves, np.asarray(grids, np.float32))
         return np.asarray(sim), np.asarray(sc)
 
     # -- encode ----------------------------------------------------------------
 
     def encode(self, frames: np.ndarray) -> np.ndarray:
         """(N, H, W, 3) uint8 or CLIP-normalized float -> (N, D) features,
-        running the exported static-chunk graph (pad + trim, like
-        evaluator.encode_frames_chunked)."""
+        through the same chunk/normalize/pad/trim loop the evaluator runs
+        (one shared implementation, so artifact/checkpoint parity cannot
+        drift), feeding the exported static-chunk graph."""
         if self._encode_exp is None:
             raise ValueError("artifact was exported without the encoder graph")
-        chunk = self.meta["encode"]["chunk"]
-        outs = []
-        for i in range(0, len(frames), chunk):
-            part = frames[i : i + chunk]
-            if part.dtype == np.uint8:
-                part = (part.astype(np.float32) / 255.0 - _CLIP_MEAN) / _CLIP_STD
-            part = np.asarray(part, np.float32)
-            pad = chunk - len(part)
-            if pad:
-                part = np.concatenate([part, np.repeat(part[:1], pad, axis=0)])
-            feats = np.asarray(self._encode_exp.call(self._encode_leaves, part))
-            outs.append(feats[: len(feats) - pad] if pad else feats)
-        return np.concatenate(outs)
+        from anomalyclip_tpu.eval.evaluator import encode_frames_chunked
+
+        return encode_frames_chunked(
+            self._encode_call,
+            self._encode_leaves,
+            frames,
+            chunk=self.meta["encode"]["chunk"],
+        )
 
     # -- full per-video scoring (the predict/serve contract) --------------------
 
@@ -301,7 +298,10 @@ class ServingArtifact:
             gather_frame_indices,
             test_start_indices,
         )
-        from anomalyclip_tpu.eval.evaluator import score_sampled_features
+        from anomalyclip_tpu.eval.evaluator import (
+            pad_to_bucket,
+            score_sampled_features,
+        )
 
         g = self.meta["grid"]
         n, l, stride = g["num_segments"], g["seg_length"], g["stride"]
@@ -314,8 +314,19 @@ class ServingArtifact:
             flat = feats.reshape((-1,) + feats.shape[2:])
             feats = self.encode(flat).reshape(ncrops, t, -1)
         feats = np.asarray(feats, np.float32)
+
+        def bucketed_score(grids):
+            # the graph is shape-polymorphic, but XLA still compiles per
+            # concrete shape at call time — bucket like GridScorer so a stream
+            # of assorted video lengths costs a handful of compiles, not one
+            # per distinct length
+            padded, true_g = pad_to_bucket(grids)
+            sim, sc = self.score(padded)
+            n_l = true_g * padded.shape[1] * padded.shape[2]
+            return sim[:n_l], sc[:n_l]
+
         return score_sampled_features(
-            feats, segment_size, n, l, stride, t_raw, self.score
+            feats, segment_size, n, l, stride, t_raw, bucketed_score
         )
 
     def predict(self, raw: np.ndarray, path: str = "") -> dict:
@@ -344,13 +355,10 @@ class ServingArtifact:
 
 
 def main(argv=None) -> Path:
+    from anomalyclip_tpu.predict import maybe_force_cpu
+
     argv = list(sys.argv[1:] if argv is None else argv)
-    if any(a in ("trainer=cpu", "trainer.accelerator=cpu") for a in argv):
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-
+    maybe_force_cpu(argv)
     os.environ.setdefault("PROJECT_ROOT", str(Path(__file__).resolve().parents[1]))
 
     from anomalyclip_tpu.config import compose, default_config_dir
@@ -368,17 +376,9 @@ def main(argv=None) -> Path:
         raise SystemExit("export requires ckpt_path=... and out=...")
 
     from anomalyclip_tpu.models.anomaly_clip import read_classnames
-    from anomalyclip_tpu.predict import _resolve_ncentroid
-    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+    from anomalyclip_tpu.predict import load_module_and_state
 
-    module = AnomalyCLIPTrainModule(cfg)
-    state = module.load_state(ckpt_path)
-    ncentroid = _resolve_ncentroid(cfg, ckpt_path)
-    if ncentroid is not None:
-        module.ncentroid = ncentroid
-    else:
-        module.compute_ncentroid()
-
+    module, state = load_module_and_state(cfg)
     include_encoder = str(cfg.get("include_encoder", True)).lower() not in (
         "false",
         "0",

@@ -123,6 +123,41 @@ def _load_input(path: Path, data_cfg, input_size: int) -> np.ndarray:
     raise ValueError(f"unrecognized input: {path} (video file, frames dir, or .npy)")
 
 
+def maybe_force_cpu(argv) -> None:
+    """Honor trainer=cpu before any jax initialization (shared CLI bootstrap)."""
+    if any(a in ("trainer=cpu", "trainer.accelerator=cpu") for a in argv):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def load_module_and_state(cfg):
+    """Build the train module, restore the checkpoint, resolve the ncentroid —
+    the common bootstrap of the predict/serve/export CLIs. -> (module, state)"""
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    ckpt_path = cfg["ckpt_path"]
+    module = AnomalyCLIPTrainModule(cfg)
+    state = module.load_state(ckpt_path)
+    ncentroid = _resolve_ncentroid(cfg, ckpt_path)
+    if ncentroid is not None:
+        module.ncentroid = ncentroid
+    else:
+        module.compute_ncentroid()
+    return module, state
+
+
+def artifact_data_cfg(kv: dict) -> dict:
+    """Input-loading options of the config-free artifact mode (shared by the
+    predict and serve CLIs)."""
+    return {
+        "ncrops": int(kv.get("ncrops", 1)),
+        "image_tmpl": kv.get("image_tmpl", "{:06d}.jpg"),
+        "fast_decode": str(kv.get("fast_decode", "false")).lower() in ("true", "1"),
+    }
+
+
 def _resolve_ncentroid(cfg, ckpt_path: str):
     explicit = cfg.get("ncentroid_path")
     if explicit:
@@ -161,11 +196,7 @@ def predict_from_artifact(kv: dict) -> dict:
     if not input_path:
         raise SystemExit("predict requires artifact=<dir> input=<path>")
     art = ServingArtifact.load(kv["artifact"])
-    data_cfg = {
-        "ncrops": int(kv.get("ncrops", 1)),
-        "image_tmpl": kv.get("image_tmpl", "{:06d}.jpg"),
-        "fast_decode": str(kv.get("fast_decode", "false")).lower() in ("true", "1"),
-    }
+    data_cfg = artifact_data_cfg(kv)
     p = Path(input_path)
     enc = art.meta.get("encode")
     if p.suffix != ".npy" and enc is None:
@@ -235,12 +266,7 @@ def main(argv=None) -> dict:
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
     if "artifact" in kv:
         return predict_from_artifact(kv)
-    if any(a in ("trainer=cpu", "trainer.accelerator=cpu") for a in argv):
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-
+    maybe_force_cpu(argv)
     os.environ.setdefault("PROJECT_ROOT", str(Path(__file__).resolve().parents[1]))
 
     from anomalyclip_tpu.config import compose, default_config_dir
@@ -257,17 +283,7 @@ def main(argv=None) -> dict:
     if not ckpt_path or ckpt_path == "???" or not input_path:
         raise SystemExit("predict requires ckpt_path=... and input=...")
 
-    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
-
-    module = AnomalyCLIPTrainModule(cfg)
-    state = module.load_state(ckpt_path)
-
-    ncentroid = _resolve_ncentroid(cfg, ckpt_path)
-    if ncentroid is not None:
-        module.ncentroid = ncentroid
-    else:
-        module.compute_ncentroid()
-
+    module, state = load_module_and_state(cfg)
     data_cfg = cfg["data"]
     raw = _load_input(
         Path(input_path), data_cfg, int(module.model.clip_cfg.image_resolution)

@@ -35,7 +35,9 @@ from pathlib import Path
 from anomalyclip_tpu.predict import (
     VIDEO_EXTS,
     _load_input,
-    _resolve_ncentroid,
+    artifact_data_cfg,
+    load_module_and_state,
+    maybe_force_cpu,
     score_input,
 )
 
@@ -96,22 +98,13 @@ def main(argv=None) -> int:
         from anomalyclip_tpu.export import ServingArtifact
 
         art = ServingArtifact.load(kv["artifact"])
-        data_cfg = {
-            "ncrops": int(kv.get("ncrops", 1)),
-            "image_tmpl": kv.get("image_tmpl", "{:06d}.jpg"),
-            "fast_decode": str(kv.get("fast_decode", "false")).lower()
-            in ("true", "1"),
-        }
+        data_cfg = artifact_data_cfg(kv)
         enc = art.meta.get("encode")
         input_size = int(enc["resolution"]) if enc else 0
         cfg = kv
         score_fn = art.predict
     else:
-        if any(a in ("trainer=cpu", "trainer.accelerator=cpu") for a in argv):
-            os.environ["JAX_PLATFORMS"] = "cpu"
-            import jax
-
-            jax.config.update("jax_platforms", "cpu")
+        maybe_force_cpu(argv)
         os.environ.setdefault(
             "PROJECT_ROOT", str(Path(__file__).resolve().parents[1])
         )
@@ -126,16 +119,7 @@ def main(argv=None) -> int:
                 "[watch=<dir> | paths on stdin] [output_dir=...]"
             )
 
-        from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
-
-        module = AnomalyCLIPTrainModule(cfg)
-        state = module.load_state(ckpt_path)
-        ncentroid = _resolve_ncentroid(cfg, ckpt_path)
-        if ncentroid is not None:
-            module.ncentroid = ncentroid
-        else:
-            module.compute_ncentroid()
-
+        module, state = load_module_and_state(cfg)
         data_cfg = cfg["data"]
         input_size = int(module.model.clip_cfg.image_resolution)
 

@@ -567,11 +567,14 @@ class AnomalyCLIPTrainModule:
             loader = getattr(self, "_train_loader", None)
             if loader is not None and hasattr(loader, "close"):
                 loader.close()
-            old_sigterm = getattr(self, "_old_sigterm", None)
-            if old_sigterm is not None:
+            # restore even when the previous handler was None (installed from
+            # C): a separate installed-flag avoids overloading None as both
+            # "never installed" and "prior handler was None"
+            if getattr(self, "_sigterm_installed", False):
                 import signal as _signal
 
-                _signal.signal(_signal.SIGTERM, old_sigterm)
+                _signal.signal(_signal.SIGTERM, self._old_sigterm)
+                self._sigterm_installed = False
                 self._old_sigterm = None
 
     def _fit_body(self) -> Dict[str, Any]:
@@ -671,23 +674,26 @@ class AnomalyCLIPTrainModule:
         ):
 
             def _on_sigterm(signum, frame):
+                # async-signal-safe: only flip the flag — logging here can
+                # re-enter a buffered stream mid-write and raise a reentrancy
+                # RuntimeError that would bypass the checkpoint save entirely
                 preempt_flag["set"] = True
-                log.warning(
-                    "SIGTERM received: will checkpoint the last epoch boundary "
-                    "and stop"
-                )
 
             # restored by _fit's finally (survives any exception below)
             self._old_sigterm = _signal.signal(_signal.SIGTERM, _on_sigterm)
+            self._sigterm_installed = True
 
         # newest completed epoch boundary; holding the pytree reference keeps
         # the (small: trainable+opt+BN) buffers alive one extra epoch
         boundary_epoch, boundary_state = start_epoch - 1, state
+        last_saved_epoch = start_epoch - 1  # skip re-serializing in the grace window
 
         def _handle_preempt(during_epoch: int) -> None:
+            nonlocal last_saved_epoch
             if not preempt_flag["set"]:
                 return
-            if boundary_epoch >= 0 and is_host_zero():
+            log.warning("SIGTERM received: checkpointing the last epoch boundary")
+            if boundary_epoch >= 0 and boundary_epoch != last_saved_epoch and is_host_zero():
                 self.ckpt.save_epoch(
                     boundary_epoch,
                     {
@@ -698,10 +704,18 @@ class AnomalyCLIPTrainModule:
                         "epoch": np.asarray(boundary_epoch),
                     },
                 )
+                last_saved_epoch = boundary_epoch
                 log.warning(
                     f"preemption checkpoint saved at epoch {boundary_epoch}; "
                     f"resume with ckpt_path={self.ckpt.ckpt_dir / 'last'}"
                 )
+            if jax.process_count() > 1:
+                # pod preemption delivers SIGTERM to every host: meet here so no
+                # peer exits (tearing down the coordination service) while host
+                # zero is still writing the checkpoint
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("preempt_checkpoint_saved")
             raise TrainingPreempted(
                 f"preempted during epoch {during_epoch} "
                 f"(saved boundary: epoch {boundary_epoch})"
@@ -795,6 +809,7 @@ class AnomalyCLIPTrainModule:
                         "epoch": np.asarray(epoch),
                     },
                 )
+                last_saved_epoch = epoch
 
             _handle_preempt(epoch)  # a SIGTERM during validation lands here
 

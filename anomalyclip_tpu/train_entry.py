@@ -132,6 +132,7 @@ def main(argv=None) -> dict:
     if "-m" in argv or "--multirun" in argv:
         overrides = [a for a in argv if a not in ("-m", "--multirun")]
         jobs = _expand_multirun(overrides)
+        from anomalyclip_tpu.train.module import TrainingPreempted
         from anomalyclip_tpu.utils.logging import get_logger
 
         log = get_logger("train")
@@ -142,6 +143,11 @@ def main(argv=None) -> dict:
             log.info(f"multirun job {i}: {job}")
             try:
                 results[i] = _single_run(job)
+            except TrainingPreempted:
+                # the machine is going away: do not burn the SIGTERM grace
+                # period launching the next (doomed) job
+                log.error(f"multirun preempted during job {i}; stopping the sweep")
+                raise
             except Exception as exc:  # one failed combo must not kill the sweep
                 log.error(f"multirun job {i} failed: {exc!r}")
                 results[i] = {"error": repr(exc)}
@@ -216,6 +222,8 @@ def _hparams_search(argv) -> dict:
         raise ValueError(f"unknown hparams_search.sampler {sampler!r}")
 
     log.info(f"hparams_search[{sampler}]: {n_trials} trials optimizing {optimized} ({direction})")
+    from anomalyclip_tpu.train.module import TrainingPreempted
+
     results = []
     tpe_history = []  # [(params, value)] of successful trials, for the TPE sampler
     for i in range(n_trials):
@@ -239,6 +247,10 @@ def _hparams_search(argv) -> dict:
         try:
             metrics = _single_run(job)
             value = metrics.get("optimized_metric_value")
+        except TrainingPreempted:
+            # preemption, not a bad combo: stop instead of starting doomed trials
+            log.error(f"hparams search preempted during trial {i}; stopping")
+            raise
         except Exception as exc:  # a failed trial must not kill the search
             log.error(f"trial {i} failed: {exc!r}")
             metrics, value = {"error": repr(exc)}, None

@@ -68,6 +68,25 @@ def test_sigterm_checkpoints_boundary_and_resumes(tmp_path):
         signal.signal(signal.SIGTERM, old)
 
 
+def test_multirun_stops_on_preemption(monkeypatch):
+    """A preemption must stop the whole sweep — the machine is going away, so
+    launching the next job would burn the SIGTERM grace period on a doomed
+    trial (unlike an ordinary failed combo, which the sweep contains)."""
+    from anomalyclip_tpu import train_entry
+    from anomalyclip_tpu.train.module import TrainingPreempted
+
+    started = []
+
+    def fake_single_run(job):
+        started.append(job)
+        raise TrainingPreempted("preempted during epoch 0")
+
+    monkeypatch.setattr(train_entry, "_single_run", fake_single_run)
+    with pytest.raises(TrainingPreempted):
+        train_entry.main(["-m", "model.solver.lr=1e-5,1e-4"])
+    assert len(started) == 1, "sweep must not start the next job after preemption"
+
+
 @pytest.mark.slow
 def test_preempt_save_off_switch(tmp_path, monkeypatch):
     """trainer.preempt_save=false must leave the process's SIGTERM handler
