@@ -136,6 +136,11 @@ def load_module_and_state(cfg):
     """Build the train module, restore the checkpoint, resolve the ncentroid —
     the common bootstrap of the predict/serve/export CLIs. -> (module, state)"""
     from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+    from anomalyclip_tpu.utils.extras import enable_compilation_cache
+
+    extras = cfg.get("extras") or {}
+    if extras.get("compilation_cache", True):
+        enable_compilation_cache(extras.get("compilation_cache_dir"))
 
     ckpt_path = cfg["ckpt_path"]
     module = AnomalyCLIPTrainModule(cfg)
@@ -156,6 +161,19 @@ def artifact_data_cfg(kv: dict) -> dict:
         "image_tmpl": kv.get("image_tmpl", "{:06d}.jpg"),
         "fast_decode": str(kv.get("fast_decode", "false")).lower() in ("true", "1"),
     }
+
+
+def artifact_bootstrap(kv: dict):
+    """Shared artifact-mode startup of the predict/serve CLIs: enable the
+    persistent compile cache (disable with compile_cache=false) and load the
+    artifact. -> (ServingArtifact, data_cfg)"""
+    from anomalyclip_tpu.export import ServingArtifact
+
+    if str(kv.get("compile_cache", "true")).lower() not in ("false", "0"):
+        from anomalyclip_tpu.utils.extras import enable_compilation_cache
+
+        enable_compilation_cache(kv.get("compile_cache_dir"))
+    return ServingArtifact.load(kv["artifact"]), artifact_data_cfg(kv)
 
 
 def _resolve_ncentroid(cfg, ckpt_path: str):
@@ -190,13 +208,10 @@ def predict_from_artifact(kv: dict) -> dict:
     model code, checkpoint, or config tree."""
     from collections import Counter
 
-    from anomalyclip_tpu.export import ServingArtifact
-
     input_path = kv.get("input")
     if not input_path:
         raise SystemExit("predict requires artifact=<dir> input=<path>")
-    art = ServingArtifact.load(kv["artifact"])
-    data_cfg = artifact_data_cfg(kv)
+    art, data_cfg = artifact_bootstrap(kv)
     p = Path(input_path)
     enc = art.meta.get("encode")
     if p.suffix != ".npy" and enc is None:

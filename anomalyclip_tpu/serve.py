@@ -35,7 +35,7 @@ from pathlib import Path
 from anomalyclip_tpu.predict import (
     VIDEO_EXTS,
     _load_input,
-    artifact_data_cfg,
+    artifact_bootstrap,
     load_module_and_state,
     maybe_force_cpu,
     score_input,
@@ -95,10 +95,7 @@ def main(argv=None) -> int:
     if "artifact" in kv:
         # deployment mode: the exported artifact is the whole contract — no
         # config tree, checkpoint, or model construction (export.py)
-        from anomalyclip_tpu.export import ServingArtifact
-
-        art = ServingArtifact.load(kv["artifact"])
-        data_cfg = artifact_data_cfg(kv)
+        art, data_cfg = artifact_bootstrap(kv)
         enc = art.meta.get("encode")
         input_size = int(enc["resolution"]) if enc else 0
         cfg = kv

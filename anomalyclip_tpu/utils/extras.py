@@ -9,7 +9,9 @@ rich dependency) — same information, grep-able in logs.
 
 from __future__ import annotations
 
-from typing import Any
+import os
+from pathlib import Path
+from typing import Any, Optional
 
 import yaml
 
@@ -17,6 +19,36 @@ from anomalyclip_tpu.config.compose import to_dict
 from anomalyclip_tpu.utils.logging import get_logger, is_host_zero
 
 log = get_logger(__name__)
+
+
+def enable_compilation_cache(
+    cache_dir: Optional[str] = None, min_compile_secs: float = 1.0
+) -> str:
+    """Turn on JAX's persistent (on-disk) XLA compilation cache.
+
+    Compiled executables are memoized across processes, so a serve/predict
+    restart — or the next eval of the same config — skips the 20-40s TPU
+    compiles entirely. This is the TPU-native answer to the reference's
+    "startup is just unpickling a checkpoint": here startup cost is
+    compilation, and the cache removes it. Entries are keyed by HLO +
+    compile options + backend, so sharing one directory across configs,
+    processes, and hardware generations is safe.
+
+    Resolution order: explicit ``cache_dir`` > $JAX_COMPILATION_CACHE_DIR >
+    ``~/.cache/anomalyclip_tpu/xla``. Returns the directory used.
+    """
+    import jax
+
+    cache_dir = str(
+        cache_dir
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or Path.home() / ".cache" / "anomalyclip_tpu" / "xla"
+    )
+    Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # skip caching trivial executables (host scalar ops etc.)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
+    return cache_dir
 
 _PRINT_ORDER = (
     "data",
@@ -32,6 +64,10 @@ _PRINT_ORDER = (
 def apply_extras(cfg: Any) -> None:
     """Apply cfg.extras before the task runs (utils.py:12-39 contract)."""
     extras = cfg.get("extras") or {}
+
+    if extras.get("compilation_cache", True):
+        cache_dir = enable_compilation_cache(extras.get("compilation_cache_dir"))
+        log.info(f"persistent XLA compilation cache: {cache_dir}")
 
     if extras.get("ignore_warnings"):
         import warnings

@@ -22,6 +22,15 @@ flags = [
 flags.append("--xla_force_host_platform_device_count=8")
 os.environ["XLA_FLAGS"] = " ".join(flags)
 
+# tests that reach apply_extras / the CLI bootstraps would enable the
+# persistent compilation cache at its ~/.cache default; confine the whole
+# suite's cache writes to a throwaway dir instead
+import tempfile
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", tempfile.mkdtemp(prefix="anomalyclip_xla_cache_")
+)
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
