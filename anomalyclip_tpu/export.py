@@ -397,5 +397,12 @@ def main(argv=None) -> Path:
     return path
 
 
+def cli() -> int:
+    """Console-script entry: main() returns the artifact Path, which setuptools
+    wrappers would pass to sys.exit() — translate to a clean exit status."""
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     main()

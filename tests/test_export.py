@@ -152,6 +152,58 @@ def test_artifact_score_video_matches_evaluator_frames(exported):
     np.testing.assert_allclose(probs, vs.class_probs, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_export_cli_end_to_end(tmp_path):
+    """The full deployment path: train -> export CLI -> artifact predict, and
+    the artifact's predictions match the checkpoint-backed predict CLI on the
+    same input (same floats up to jit-vs-export compilation noise)."""
+    import json
+
+    from anomalyclip_tpu.export import main as export_main
+    from anomalyclip_tpu.predict import main as predict_main
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+    from tests.helpers.synthetic_run import synthetic_cfg
+
+    cfg = synthetic_cfg(
+        tmp_path,
+        "trainer.max_epochs=1",
+        "trainer.limit_train_batches=1",
+        "trainer.limit_val_batches=1",
+    )
+    module = AnomalyCLIPTrainModule(cfg)
+    module.fit()
+    ckpt = module.save_dir / "checkpoints" / "last"
+    froot = cfg["data"]["frames_root"]
+
+    common = [
+        "experiment=synthetic",
+        f"data.frames_root={froot}",
+        f"data.annotations_root={cfg['data']['annotations_root']}",
+        f"ckpt_path={ckpt}",
+    ]
+    art_dir = tmp_path / "artifact"
+    out = export_main(common + [f"out={art_dir}"])
+    assert (out / "meta.json").is_file() and (out / "score.bin").is_file()
+
+    video = f"{froot}/abnormal_000.npy"
+    ref_json = tmp_path / "ref.json"
+    predict_main(common + [f"input={video}", f"output={ref_json}"])
+    art_json = tmp_path / "art.json"
+    predict_main([f"artifact={art_dir}", f"input={video}", f"output={art_json}"])
+
+    ref = json.loads(ref_json.read_text())
+    got = json.loads(art_json.read_text())
+    assert got["num_frames"] == ref["num_frames"]
+    assert got["classnames_abnormal"] == ref["classnames_abnormal"]
+    np.testing.assert_allclose(
+        got["frame_scores"], ref["frame_scores"], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        got["frame_top_class_prob"], ref["frame_top_class_prob"], rtol=1e-4, atol=1e-5
+    )
+    assert got["frame_top_class"] == ref["frame_top_class"]
+
+
 def test_predict_and_serve_artifact_mode(exported, tmp_path, monkeypatch):
     """The config-free CLI surfaces: predict artifact=... and serve artifact=...
     produce the standard predictions schema from a feature .npy."""
