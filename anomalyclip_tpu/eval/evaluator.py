@@ -109,8 +109,21 @@ class GridScorer:
         ncentroid=None,
         buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
         encode_jit=None,
+        mesh=None,
     ):
+        """``mesh``: an optional >1-device data mesh. The score executable is
+        sharding-polymorphic (every per-frame op and every grid is
+        independent), so placing the grid batch with a data-axis sharding
+        makes GSPMD partition the same program over all chips — validation on
+        an N-chip pod scores N grids at once instead of idling N-1 chips.
+        Buckets are rounded up to mesh multiples so the shard always divides;
+        parity with the single-device result is pinned in
+        tests/test_multidevice.py and the driver dryrun."""
         self.model = model
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if self.mesh is not None:
+            n_dev = self.mesh.size
+            buckets = tuple(sorted({-(-b // n_dev) * n_dev for b in buckets}))
         self.buckets = buckets
         self._text_fn = jax.jit(model.text_features)
         self._encode_jit = encode_jit  # optionally shared by the caller
@@ -153,6 +166,15 @@ class GridScorer:
         self._temporal = trainable["temporal"]
         self._bn_state = bn_state
         self._ncentroid = jnp.asarray(ncentroid)
+        if self.mesh is not None:
+            # replicate the (small) score params over the mesh so the sharded
+            # grid batch composes with them without any implicit reshuffle
+            from anomalyclip_tpu.parallel.mesh import replicate
+
+            self.text_features = replicate(self.text_features, self.mesh)
+            self._temporal = replicate(self._temporal, self.mesh)
+            self._bn_state = replicate(self._bn_state, self.mesh)
+            self._ncentroid = replicate(self._ncentroid, self.mesh)
         return self
 
     def encode_frames_np(self, frames: np.ndarray) -> np.ndarray:
@@ -165,12 +187,17 @@ class GridScorer:
     def score_grids(self, grids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Pad the grid batch to a bucket, score, trim."""
         grids, g = pad_to_bucket(grids, self.buckets)
+        grids_dev = jnp.asarray(grids)
+        if self.mesh is not None:
+            from anomalyclip_tpu.parallel.mesh import batch_sharding
+
+            grids_dev = jax.device_put(grids_dev, batch_sharding(self.mesh))
         similarity, scores = self._score(
             self.text_features,
             self._temporal,
             self._bn_state,
             self._ncentroid,
-            jnp.asarray(grids),
+            grids_dev,
         )
         n_l = grids.shape[1] * grids.shape[2]
         return (

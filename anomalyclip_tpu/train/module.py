@@ -39,6 +39,7 @@ from anomalyclip_tpu.models.clip.registry import resolve_clip
 from anomalyclip_tpu.models.losses import LossConfig, compute_loss
 from anomalyclip_tpu.models.selector import BNState
 from anomalyclip_tpu.parallel.mesh import (
+    batch_sharding,
     data_mesh,
     maybe_initialize_distributed,
     replicate,
@@ -213,7 +214,13 @@ class AnomalyCLIPTrainModule:
                         # substitute the memoized device copy: self.frozen is
                         # host numpy, and re-transferring the tower per chunk
                         # would turn every encode into a host->device copy of
-                        # the weights
+                        # the weights. On a >1-device mesh the (static-chunk)
+                        # frame batch shards over the data axis, so eval and
+                        # the ncentroid pass encode data-parallel.
+                        if self.mesh.size > 1 and frames.shape[0] % self.mesh.size == 0:
+                            frames = jax.device_put(
+                                jnp.asarray(frames), batch_sharding(self.mesh)
+                            )
                         return _enc(self._frozen_on_device(), frames)
 
                     fn._tp = False
@@ -286,12 +293,17 @@ class AnomalyCLIPTrainModule:
         return fn
 
     def _frozen_on_device(self):
-        """Single-device placement of the frozen params, materialized lazily and
-        once. TP encode never calls this — its tower is device_put shard-by-shard
+        """Device placement of the frozen params, materialized lazily and once:
+        replicated over the data mesh when it has >1 device (so the DP eval's
+        sharded frame batches compose under GSPMD), single-device otherwise.
+        TP encode never calls this — its tower is device_put shard-by-shard
         in _tp_encode_fn, which is what keeps a bigger-than-one-chip tower
         servable: no device ever holds the full unsharded copy."""
         if self._frozen_dev is None:
-            self._frozen_dev = jax.tree_util.tree_map(jnp.asarray, self.frozen)
+            if self.mesh.size > 1:
+                self._frozen_dev = replicate(self.frozen, self.mesh)
+            else:
+                self._frozen_dev = jax.tree_util.tree_map(jnp.asarray, self.frozen)
         return self._frozen_dev
 
     def _tp_unavailable_reason(self, mp: int) -> Optional[str]:
@@ -829,7 +841,9 @@ class AnomalyCLIPTrainModule:
         """Cached scorer: the jitted executable persists across epochs; only the
         parameters are swapped (kills the per-epoch revalidation recompiles)."""
         if getattr(self, "_scorer_cache", None) is None or self._scorer_cache.model is not self.model:
-            self._scorer_cache = GridScorer(self.model, encode_jit=self._encode_jit())
+            self._scorer_cache = GridScorer(
+                self.model, encode_jit=self._encode_jit(), mesh=self.mesh
+            )
         return self._scorer_cache.update(
             self._text_frozen(), state.trainable, state.bn_state,
             jnp.asarray(self.ncentroid),

@@ -87,6 +87,34 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(bn1.var), np.asarray(bn8.var), rtol=2e-5, atol=1e-6)
 
 
+def test_dp_grid_scorer_matches_single_device():
+    """The production DP-eval path: GridScorer(mesh=8-device) must reproduce
+    the single-device scorer exactly — validation on a pod shards grids over
+    all chips through the SAME executable (evaluator.py GridScorer.mesh)."""
+    from anomalyclip_tpu.eval.evaluator import GridScorer
+    from anomalyclip_tpu.parallel.mesh import data_mesh
+
+    ge = _graft_entry()
+    model, frozen, trainable, bn_state = ge._build_tiny()
+    rng = np.random.default_rng(1)
+    nc = rng.standard_normal(model.embedding_dim).astype(np.float32)
+
+    s1 = GridScorer(model, frozen, trainable, bn_state, nc)
+    s8 = GridScorer(
+        model, frozen, trainable, bn_state, nc, mesh=data_mesh(jax.devices()[:8])
+    )
+    # bucket table must stay divisible by the mesh
+    assert all(b % 8 == 0 for b in s8.buckets), s8.buckets
+
+    n, l, d = model.cfg.num_segments, model.cfg.seg_length, model.embedding_dim
+    for g in (1, 9, 16):  # below one-per-device, odd over, exact multiple
+        grids = rng.standard_normal((g, n, l, d)).astype(np.float32)
+        sim1, sc1 = s1.score_grids(grids)
+        sim8, sc8 = s8.score_grids(grids)
+        np.testing.assert_allclose(sim8, sim1, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(sc8, sc1, rtol=1e-5, atol=1e-5)
+
+
 def test_entry_builds():
     """entry() returns a jittable fn + args; trace it abstractly (no full compile:
     the flagship ViT-B/16 compile is exercised by the driver on real hardware)."""
