@@ -84,7 +84,9 @@ def encode_frames_chunked(
         pad = chunk - len(part)
         if pad:
             part = np.concatenate([part, np.repeat(part[:1], pad, axis=0)])
-        out = np.asarray(encode_jit(frozen, jnp.asarray(part)))
+        # pass the HOST array: a DP-sharded encode_jit device_puts each shard
+        # straight to its chip (jnp.asarray here would stage on device 0)
+        out = np.asarray(encode_jit(frozen, part))
         outs.append(out[: len(out) - pad] if pad else out)
     return np.concatenate(outs)
 
@@ -111,14 +113,18 @@ class GridScorer:
         encode_jit=None,
         mesh=None,
     ):
-        """``mesh``: an optional >1-device data mesh. The score executable is
-        sharding-polymorphic (every per-frame op and every grid is
-        independent), so placing the grid batch with a data-axis sharding
-        makes GSPMD partition the same program over all chips — validation on
-        an N-chip pod scores N grids at once instead of idling N-1 chips.
+        """``mesh``: an optional >1-device single-process data mesh. Every
+        per-frame op and every grid is independent, so scoring is
+        embarrassingly data-parallel: the score program is wrapped in
+        ``shard_map`` over the data axis — each chip runs the complete
+        (Pallas kernels included) program on its local grid shard, with zero
+        collectives and no SPMD-partitioner involvement — and validation on
+        an N-chip host scores N grids at once instead of idling N-1 chips.
         Buckets are rounded up to mesh multiples so the shard always divides;
         parity with the single-device result is pinned in
-        tests/test_multidevice.py and the driver dryrun."""
+        tests/test_multidevice.py and the driver dryrun. Multi-host meshes
+        are not supported here (callers pass mesh=None there: outputs must be
+        fully addressable for the host-side layout inversion)."""
         self.model = model
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         if self.mesh is not None:
@@ -148,6 +154,18 @@ class GridScorer:
                 ).reshape(-1)
                 return similarity, scores
 
+        if self.mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from anomalyclip_tpu.parallel.mesh import DATA_AXIS
+
+            score = shard_map(
+                score,
+                mesh=self.mesh,
+                in_specs=(P(), P(), P(), P(), P(DATA_AXIS)),
+                out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            )
         self._score = jax.jit(score)
         if trainable is not None:
             self.update(frozen, trainable, bn_state, ncentroid)
@@ -187,11 +205,15 @@ class GridScorer:
     def score_grids(self, grids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Pad the grid batch to a bucket, score, trim."""
         grids, g = pad_to_bucket(grids, self.buckets)
-        grids_dev = jnp.asarray(grids)
         if self.mesh is not None:
+            # device_put the HOST array: each shard transfers straight to its
+            # device (staging through jnp.asarray would copy the whole batch
+            # to device 0 first, then reshard)
             from anomalyclip_tpu.parallel.mesh import batch_sharding
 
-            grids_dev = jax.device_put(grids_dev, batch_sharding(self.mesh))
+            grids_dev = jax.device_put(np.asarray(grids), batch_sharding(self.mesh))
+        else:
+            grids_dev = jnp.asarray(grids)
         similarity, scores = self._score(
             self.text_features,
             self._temporal,

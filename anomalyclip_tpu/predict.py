@@ -136,12 +136,9 @@ def load_module_and_state(cfg):
     """Build the train module, restore the checkpoint, resolve the ncentroid —
     the common bootstrap of the predict/serve/export CLIs. -> (module, state)"""
     from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
-    from anomalyclip_tpu.utils.extras import enable_compilation_cache
+    from anomalyclip_tpu.utils.extras import maybe_enable_compilation_cache
 
-    extras = cfg.get("extras") or {}
-    if extras.get("compilation_cache", True):
-        enable_compilation_cache(extras.get("compilation_cache_dir"))
-
+    maybe_enable_compilation_cache(cfg.get("extras"))
     ckpt_path = cfg["ckpt_path"]
     module = AnomalyCLIPTrainModule(cfg)
     state = module.load_state(ckpt_path)
@@ -168,11 +165,15 @@ def artifact_bootstrap(kv: dict):
     persistent compile cache (disable with compile_cache=false) and load the
     artifact. -> (ServingArtifact, data_cfg)"""
     from anomalyclip_tpu.export import ServingArtifact
+    from anomalyclip_tpu.utils.extras import maybe_enable_compilation_cache
 
-    if str(kv.get("compile_cache", "true")).lower() not in ("false", "0"):
-        from anomalyclip_tpu.utils.extras import enable_compilation_cache
-
-        enable_compilation_cache(kv.get("compile_cache_dir"))
+    maybe_enable_compilation_cache(
+        {
+            "compilation_cache": str(kv.get("compile_cache", "true")).lower()
+            not in ("false", "0"),
+            "compilation_cache_dir": kv.get("compile_cache_dir"),
+        }
+    )
     return ServingArtifact.load(kv["artifact"]), artifact_data_cfg(kv)
 
 

@@ -208,18 +208,37 @@ class AnomalyCLIPTrainModule:
                 if int8:
                     self._encode_frames_jit = self._int8_encode_fn()
                 else:
-                    enc = jax.jit(self.model.encode_frames)
+                    # DP eval: each chip runs the COMPLETE encoder (Pallas
+                    # kernels included) on its shard of the static frame chunk
+                    # via shard_map — embarrassingly parallel, zero collectives,
+                    # no SPMD-partitioner involvement. Single device: plain jit.
+                    eval_mesh = self._eval_mesh()
+                    if eval_mesh is not None:
+                        from jax.experimental.shard_map import shard_map
+                        from jax.sharding import PartitionSpec as P
 
-                    def fn(_frozen, frames, _enc=enc):
+                        from anomalyclip_tpu.parallel.mesh import DATA_AXIS
+
+                        enc = jax.jit(
+                            shard_map(
+                                self.model.encode_frames,
+                                mesh=eval_mesh,
+                                in_specs=(P(), P(DATA_AXIS)),
+                                out_specs=P(DATA_AXIS),
+                            )
+                        )
+                    else:
+                        enc = jax.jit(self.model.encode_frames)
+
+                    def fn(_frozen, frames, _enc=enc, _mesh=eval_mesh):
                         # substitute the memoized device copy: self.frozen is
                         # host numpy, and re-transferring the tower per chunk
                         # would turn every encode into a host->device copy of
-                        # the weights. On a >1-device mesh the (static-chunk)
-                        # frame batch shards over the data axis, so eval and
-                        # the ncentroid pass encode data-parallel.
-                        if self.mesh.size > 1 and frames.shape[0] % self.mesh.size == 0:
+                        # the weights. Sharded placement device_puts the HOST
+                        # array so each shard transfers straight to its chip.
+                        if _mesh is not None:
                             frames = jax.device_put(
-                                jnp.asarray(frames), batch_sharding(self.mesh)
+                                np.asarray(frames), batch_sharding(_mesh)
                             )
                         return _enc(self._frozen_on_device(), frames)
 
@@ -292,16 +311,35 @@ class AnomalyCLIPTrainModule:
         fn._int8 = True
         return fn
 
+    def _eval_mesh(self):
+        """The data mesh for evaluation/serving, independent of the training
+        batch size (the train mesh shrinks to divide half_batch — irrelevant
+        here: eval buckets round themselves to any mesh). Uses the largest
+        local-device prefix dividing ENCODE_CHUNK so the sharded frame chunks
+        always split evenly. None when it would not parallelize anything:
+        single device, or multi-host (per-host outputs must stay fully
+        addressable for the host-side grid layout inversion)."""
+        if not hasattr(self, "_eval_mesh_cache"):
+            devs = jax.devices()
+            n = len(devs)
+            while n > 1 and AnomalyCLIP.ENCODE_CHUNK % n:
+                n -= 1
+            self._eval_mesh_cache = (
+                data_mesh(devs[:n]) if n > 1 and jax.process_count() == 1 else None
+            )
+        return self._eval_mesh_cache
+
     def _frozen_on_device(self):
         """Device placement of the frozen params, materialized lazily and once:
-        replicated over the data mesh when it has >1 device (so the DP eval's
-        sharded frame batches compose under GSPMD), single-device otherwise.
+        replicated over the eval mesh when DP eval is active (each chip runs
+        the full encoder on its frame shard), single-device otherwise.
         TP encode never calls this — its tower is device_put shard-by-shard
         in _tp_encode_fn, which is what keeps a bigger-than-one-chip tower
         servable: no device ever holds the full unsharded copy."""
         if self._frozen_dev is None:
-            if self.mesh.size > 1:
-                self._frozen_dev = replicate(self.frozen, self.mesh)
+            mesh = self._eval_mesh()
+            if mesh is not None:
+                self._frozen_dev = replicate(self.frozen, mesh)
             else:
                 self._frozen_dev = jax.tree_util.tree_map(jnp.asarray, self.frozen)
         return self._frozen_dev
@@ -842,7 +880,7 @@ class AnomalyCLIPTrainModule:
         parameters are swapped (kills the per-epoch revalidation recompiles)."""
         if getattr(self, "_scorer_cache", None) is None or self._scorer_cache.model is not self.model:
             self._scorer_cache = GridScorer(
-                self.model, encode_jit=self._encode_jit(), mesh=self.mesh
+                self.model, encode_jit=self._encode_jit(), mesh=self._eval_mesh()
             )
         return self._scorer_cache.update(
             self._text_frozen(), state.trainable, state.bn_state,

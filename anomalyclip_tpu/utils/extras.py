@@ -61,12 +61,22 @@ _PRINT_ORDER = (
 )
 
 
+def maybe_enable_compilation_cache(extras: Any) -> Optional[str]:
+    """Gate + enable from an extras-like mapping ({compilation_cache: bool,
+    compilation_cache_dir: str|None}) — the one implementation behind
+    apply_extras and every CLI bootstrap. Returns the dir, or None if off."""
+    extras = extras or {}
+    if not extras.get("compilation_cache", True):
+        return None
+    return enable_compilation_cache(extras.get("compilation_cache_dir"))
+
+
 def apply_extras(cfg: Any) -> None:
     """Apply cfg.extras before the task runs (utils.py:12-39 contract)."""
     extras = cfg.get("extras") or {}
 
-    if extras.get("compilation_cache", True):
-        cache_dir = enable_compilation_cache(extras.get("compilation_cache_dir"))
+    cache_dir = maybe_enable_compilation_cache(extras)
+    if cache_dir:
         log.info(f"persistent XLA compilation cache: {cache_dir}")
 
     if extras.get("ignore_warnings"):

@@ -23,13 +23,16 @@ flags.append("--xla_force_host_platform_device_count=8")
 os.environ["XLA_FLAGS"] = " ".join(flags)
 
 # tests that reach apply_extras / the CLI bootstraps would enable the
-# persistent compilation cache at its ~/.cache default; confine the whole
-# suite's cache writes to a throwaway dir instead
+# persistent compilation cache at its ~/.cache default (or, with setdefault,
+# write suite entries into a developer's real cache dir); unconditionally
+# point the suite at a throwaway dir and remove it on exit
+import atexit
+import shutil
 import tempfile
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", tempfile.mkdtemp(prefix="anomalyclip_xla_cache_")
-)
+_cache_dir = tempfile.mkdtemp(prefix="anomalyclip_xla_cache_")
+os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache_dir
+atexit.register(shutil.rmtree, _cache_dir, ignore_errors=True)
 
 import jax
 
