@@ -5,6 +5,12 @@ Same invocation contract as the reference (reference: src/eval.py:33-89):
 
     python eval.py data=ucfcrime model=anomaly_clip_ucfcrime \
         ckpt_path=logs/train/runs/ucfcrime/checkpoints/last
+
+Artifact mode — validate an exported serving artifact (export.py) against a
+labeled benchmark with no model code or checkpoint (the pre-ship check that
+the artifact you deploy reproduces the eval numbers):
+
+    python eval.py artifact=<dir> data=ucfcrime
 """
 
 from __future__ import annotations
@@ -34,6 +40,14 @@ def main(argv=None) -> dict:
 
     cfg = compose(default_config_dir(), "eval", argv)
 
+    if cfg.get("artifact"):
+        if not cfg.get("data"):
+            raise SystemExit("artifact eval needs a data group: eval.py artifact=<dir> data=...")
+        from anomalyclip_tpu.utils.extras import apply_extras
+
+        apply_extras(cfg)
+        return _eval_artifact(cfg)
+
     if not cfg.get("data") or not cfg.get("model"):
         raise SystemExit(
             "No data/model configured. Run with explicit groups, e.g.\n"
@@ -50,6 +64,59 @@ def main(argv=None) -> dict:
 
     module = AnomalyCLIPTrainModule(cfg)
     return module.test(ckpt_path=ckpt_path)
+
+
+def _eval_artifact(cfg) -> dict:
+    """Full benchmark eval through the exported graphs alone: iterate the test
+    loader, score each pre-sampled item via the artifact, write the same
+    test artifacts block as module.test (metrics.json + PR/ROC/F1 plots)."""
+    import numpy as np
+
+    from anomalyclip_tpu.data.datamodule import AnomalyCLIPDataModule, DataConfig
+    from anomalyclip_tpu.eval.artifacts import write_test_artifacts
+    from anomalyclip_tpu.export import ServingArtifact
+    from anomalyclip_tpu.models.anomaly_clip import read_classnames
+
+    art = ServingArtifact.load(cfg["artifact"])
+    datamodule = AnomalyCLIPDataModule(
+        DataConfig.from_dict(dict(cfg["data"])), seed=int(cfg.get("seed") or 0)
+    )
+    g = art.meta["grid"]
+    dm_cfg = datamodule.cfg
+    if (dm_cfg.num_segments, dm_cfg.seg_length) != (
+        g["num_segments"],
+        g["seg_length"],
+    ):
+        raise SystemExit(
+            f"data group samples ({dm_cfg.num_segments}, {dm_cfg.seg_length}) "
+            f"grids but the artifact was exported for "
+            f"({g['num_segments']}, {g['seg_length']})"
+        )
+
+    all_scores, all_labels, all_probs = [], [], []
+    for item in datamodule.test_dataloader():
+        _, sc, probs = art.score_test_item(item)
+        all_scores.append(sc)
+        all_labels.append(np.asarray(item.frame_labels))
+        all_probs.append(probs)
+
+    save_dir = Path(cfg.get("paths", {}).get("output_dir") or ".") / "artifact_eval"
+    classnames = art.meta.get("classnames") or read_classnames(dm_cfg.labels_file)
+    metrics = write_test_artifacts(
+        save_dir,
+        np.concatenate(all_scores),
+        np.concatenate(all_labels),
+        np.concatenate(all_probs),
+        int(art.meta["normal_id"]),
+        len(classnames),
+        classnames,
+    )
+    print(
+        f"artifact eval: AUC={metrics['auc_roc']:.4f} AP={metrics['auc_pr']:.4f} "
+        f"mAUC={metrics['mean_mc_auroc']:.4f} mAP={metrics['mean_mc_aupr']:.4f} "
+        f"-> {save_dir}"
+    )
+    return metrics
 
 
 def cli() -> int:

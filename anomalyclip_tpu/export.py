@@ -298,10 +298,7 @@ class ServingArtifact:
             gather_frame_indices,
             test_start_indices,
         )
-        from anomalyclip_tpu.eval.evaluator import (
-            pad_to_bucket,
-            score_sampled_features,
-        )
+        from anomalyclip_tpu.eval.evaluator import score_sampled_features
 
         g = self.meta["grid"]
         n, l, stride = g["num_segments"], g["seg_length"], g["stride"]
@@ -314,19 +311,46 @@ class ServingArtifact:
             flat = feats.reshape((-1,) + feats.shape[2:])
             feats = self.encode(flat).reshape(ncrops, t, -1)
         feats = np.asarray(feats, np.float32)
-
-        def bucketed_score(grids):
-            # the graph is shape-polymorphic, but XLA still compiles per
-            # concrete shape at call time — bucket like GridScorer so a stream
-            # of assorted video lengths costs a handful of compiles, not one
-            # per distinct length
-            padded, true_g = pad_to_bucket(grids)
-            sim, sc = self.score(padded)
-            n_l = true_g * padded.shape[1] * padded.shape[2]
-            return sim[:n_l], sc[:n_l]
-
         return score_sampled_features(
-            feats, segment_size, n, l, stride, t_raw, bucketed_score
+            feats, segment_size, n, l, stride, t_raw, self.score_grids_bucketed
+        )
+
+    def score_grids_bucketed(
+        self, grids: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """score() with GridScorer's bucket padding: the graph is
+        shape-polymorphic, but XLA still compiles per concrete shape at call
+        time — bucketing means a stream of assorted video lengths costs a
+        handful of compiles, not one per distinct length."""
+        from anomalyclip_tpu.eval.evaluator import pad_to_bucket
+
+        padded, true_g = pad_to_bucket(grids)
+        sim, sc = self.score(padded)
+        n_l = true_g * padded.shape[1] * padded.shape[2]
+        return sim[:n_l], sc[:n_l]
+
+    def score_test_item(self, item) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Score a pre-sampled TestItem (data/dataset.py) — the benchmark-eval
+        path: features arrive already test-sampled to (ncrops, n*s*l, ...)
+        with a known segment_size (unlike score_video's raw input).
+        -> (similarity, scores, class_probs), trimmed to the labeled length."""
+        from anomalyclip_tpu.eval.evaluator import score_sampled_features
+
+        g = self.meta["grid"]
+        feats = item.features
+        if feats.ndim == 5:
+            ncrops, t = feats.shape[:2]
+            flat = feats.reshape((-1,) + feats.shape[2:])
+            feats = self.encode(flat).reshape(ncrops, t, -1)
+        feats = np.asarray(feats, np.float32)
+        return score_sampled_features(
+            feats,
+            item.segment_size,
+            g["num_segments"],
+            g["seg_length"],
+            g["stride"],
+            len(item.frame_labels),
+            self.score_grids_bucketed,
         )
 
     def predict(self, raw: np.ndarray, path: str = "") -> dict:

@@ -213,6 +213,22 @@ def test_export_cli_end_to_end(tmp_path):
         len(ref["frame_top_class"]),
     )
 
+    # artifact BENCHMARK eval (eval.py artifact=...) == checkpoint-backed test
+    from anomalyclip_tpu.eval_entry import main as eval_main
+
+    ckpt_metrics = module.test(ckpt_path=str(ckpt))
+    art_metrics = eval_main(
+        [f"artifact={art_dir}", "experiment=synthetic",
+         f"data.frames_root={froot}",
+         f"data.annotations_root={cfg['data']['annotations_root']}",
+         f"paths.output_dir={tmp_path / 'art_eval'}"]
+    )
+    for key in ("auc_roc", "auc_pr", "mean_mc_auroc", "mean_mc_aupr"):
+        assert abs(art_metrics[key] - ckpt_metrics[key]) < 1e-4, (
+            key, art_metrics[key], ckpt_metrics[key],
+        )
+    assert (tmp_path / "art_eval" / "artifact_eval" / "metrics.json").is_file()
+
 
 def test_predict_and_serve_artifact_mode(exported, tmp_path, monkeypatch):
     """The config-free CLI surfaces: predict artifact=... and serve artifact=...
