@@ -323,17 +323,23 @@ def score_video(item: TestItem, scorer: GridScorer, model: AnomalyCLIP) -> Video
 
 def evaluate_videos(
     loader,
-    scorer: GridScorer,
-    model: AnomalyCLIP,
+    scorer: Optional[GridScorer] = None,
+    model: Optional[AnomalyCLIP] = None,
     on_video: Optional[Callable[[VideoScores], None]] = None,
+    score_item: Optional[Callable[[TestItem], VideoScores]] = None,
 ) -> Dict[str, np.ndarray]:
     """Concatenate per-video outputs over a test loader
-    (anomaly_clip_module.py:500-504)."""
+    (anomaly_clip_module.py:500-504). The per-item scorer defaults to the
+    checkpoint-backed score_video; pass ``score_item`` to route items through
+    a different executable with the same accumulation (the exported-artifact
+    eval, eval_entry.py:_eval_artifact)."""
+    if score_item is None:
+        score_item = lambda item: score_video(item, scorer, model)  # noqa: E731
     all_scores: List[np.ndarray] = []
     all_labels: List[np.ndarray] = []
     all_probs: List[np.ndarray] = []
     for item in loader:
-        vs = score_video(item, scorer, model)
+        vs = score_item(item)
         if on_video is not None:
             on_video(vs)
         all_scores.append(vs.scores)

@@ -36,7 +36,6 @@ def main(argv=None) -> dict:
     os.environ.setdefault("PROJECT_ROOT", str(Path(__file__).resolve().parents[1]))
 
     from anomalyclip_tpu.config import compose, default_config_dir
-    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
 
     cfg = compose(default_config_dir(), "eval", argv)
 
@@ -62,6 +61,8 @@ def main(argv=None) -> dict:
     if not ckpt_path or ckpt_path == "???":
         raise SystemExit("eval.py requires ckpt_path=...")
 
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
     module = AnomalyCLIPTrainModule(cfg)
     return module.test(ckpt_path=ckpt_path)
 
@@ -74,8 +75,10 @@ def _eval_artifact(cfg) -> dict:
 
     from anomalyclip_tpu.data.datamodule import AnomalyCLIPDataModule, DataConfig
     from anomalyclip_tpu.eval.artifacts import write_test_artifacts
+    from anomalyclip_tpu.eval.evaluator import VideoScores, evaluate_videos
     from anomalyclip_tpu.export import ServingArtifact
     from anomalyclip_tpu.models.anomaly_clip import read_classnames
+    from anomalyclip_tpu.utils.logging import is_host_zero
 
     art = ServingArtifact.load(cfg["artifact"])
     datamodule = AnomalyCLIPDataModule(
@@ -83,39 +86,43 @@ def _eval_artifact(cfg) -> dict:
     )
     g = art.meta["grid"]
     dm_cfg = datamodule.cfg
-    if (dm_cfg.num_segments, dm_cfg.seg_length) != (
-        g["num_segments"],
-        g["seg_length"],
-    ):
+    # all three sampling knobs must agree or scores silently misalign in time
+    # (stride expands per-chunk scores back to frame rate)
+    wanted = (g["num_segments"], g["seg_length"], g["stride"])
+    got = (dm_cfg.num_segments, dm_cfg.seg_length, dm_cfg.stride)
+    if got != wanted:
         raise SystemExit(
-            f"data group samples ({dm_cfg.num_segments}, {dm_cfg.seg_length}) "
-            f"grids but the artifact was exported for "
-            f"({g['num_segments']}, {g['seg_length']})"
+            f"data group samples (num_segments, seg_length, stride)={got} but "
+            f"the artifact was exported for {wanted}"
         )
 
-    all_scores, all_labels, all_probs = [], [], []
-    for item in datamodule.test_dataloader():
-        _, sc, probs = art.score_test_item(item)
-        all_scores.append(sc)
-        all_labels.append(np.asarray(item.frame_labels))
-        all_probs.append(probs)
+    def score_item(item) -> VideoScores:
+        sim, sc, probs = art.score_test_item(item)
+        return VideoScores(
+            sim, sc, probs, np.asarray(item.frame_labels), item.video_label,
+            item.path,
+        )
+
+    outputs = evaluate_videos(datamodule.test_dataloader(), score_item=score_item)
 
     save_dir = Path(cfg.get("paths", {}).get("output_dir") or ".") / "artifact_eval"
     classnames = art.meta.get("classnames") or read_classnames(dm_cfg.labels_file)
-    metrics = write_test_artifacts(
-        save_dir,
-        np.concatenate(all_scores),
-        np.concatenate(all_labels),
-        np.concatenate(all_probs),
-        int(art.meta["normal_id"]),
-        len(classnames),
-        classnames,
-    )
-    print(
-        f"artifact eval: AUC={metrics['auc_roc']:.4f} AP={metrics['auc_pr']:.4f} "
-        f"mAUC={metrics['mean_mc_auroc']:.4f} mAP={metrics['mean_mc_aupr']:.4f} "
-        f"-> {save_dir}"
-    )
+    metrics = {}
+    if is_host_zero():
+        metrics = write_test_artifacts(
+            save_dir,
+            outputs["abnormal_scores"],
+            outputs["labels"],
+            outputs["class_probs"],
+            int(art.meta["normal_id"]),
+            len(classnames),
+            classnames,
+        )
+        print(
+            f"artifact eval: AUC={metrics['auc_roc']:.4f} AP={metrics['auc_pr']:.4f} "
+            f"mAUC={metrics['mean_mc_auroc']:.4f} mAP={metrics['mean_mc_aupr']:.4f} "
+            f"-> {save_dir}"
+        )
     return metrics
 
 

@@ -298,21 +298,34 @@ class ServingArtifact:
             gather_frame_indices,
             test_start_indices,
         )
-        from anomalyclip_tpu.eval.evaluator import score_sampled_features
-
         g = self.meta["grid"]
         n, l, stride = g["num_segments"], g["seg_length"], g["stride"]
         t_raw = raw.shape[1]
         starts, segment_size = test_start_indices(t_raw, n, l, stride)
         indices = gather_frame_indices(starts, l, stride, t_raw)
-        feats = raw[:, indices]
+        return self._score_sampled(raw[:, indices], segment_size, t_raw)
+
+    def _score_sampled(
+        self, feats: np.ndarray, segment_size: int, num_labels: int
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Shared tail of score_video/score_test_item: encode raw frames if
+        present, then the evaluator's layout/consensus pipeline over the
+        bucketed exported score graph."""
+        from anomalyclip_tpu.eval.evaluator import score_sampled_features
+
+        g = self.meta["grid"]
         if feats.ndim == 5:
             ncrops, t = feats.shape[:2]
             flat = feats.reshape((-1,) + feats.shape[2:])
             feats = self.encode(flat).reshape(ncrops, t, -1)
-        feats = np.asarray(feats, np.float32)
         return score_sampled_features(
-            feats, segment_size, n, l, stride, t_raw, self.score_grids_bucketed
+            np.asarray(feats, np.float32),
+            segment_size,
+            g["num_segments"],
+            g["seg_length"],
+            g["stride"],
+            num_labels,
+            self.score_grids_bucketed,
         )
 
     def score_grids_bucketed(
@@ -334,23 +347,8 @@ class ServingArtifact:
         path: features arrive already test-sampled to (ncrops, n*s*l, ...)
         with a known segment_size (unlike score_video's raw input).
         -> (similarity, scores, class_probs), trimmed to the labeled length."""
-        from anomalyclip_tpu.eval.evaluator import score_sampled_features
-
-        g = self.meta["grid"]
-        feats = item.features
-        if feats.ndim == 5:
-            ncrops, t = feats.shape[:2]
-            flat = feats.reshape((-1,) + feats.shape[2:])
-            feats = self.encode(flat).reshape(ncrops, t, -1)
-        feats = np.asarray(feats, np.float32)
-        return score_sampled_features(
-            feats,
-            item.segment_size,
-            g["num_segments"],
-            g["seg_length"],
-            g["stride"],
-            len(item.frame_labels),
-            self.score_grids_bucketed,
+        return self._score_sampled(
+            item.features, item.segment_size, len(item.frame_labels)
         )
 
     def predict(self, raw: np.ndarray, path: str = "") -> dict:

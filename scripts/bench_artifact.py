@@ -73,12 +73,16 @@ def main() -> None:
             args.iters,
         )
 
+        # pass the weight leaves as runtime arguments, exactly like the
+        # production path (_score_call(self._score_leaves, grids)) — closing
+        # over them would bake them into the trace as foldable constants and
+        # measure a differently-specialized executable than production runs
         leaves = [jnp.asarray(x) for x in art._score_leaves]
 
-        def exported(g):
-            return art._score_exp.call(leaves, g)[1]
+        def exported(lv, g):
+            return art._score_exp.call(lv, g)[1]
 
-        t_art = _chain_time(exported, (grids,), args.iters)
+        t_art = _chain_time(exported, (leaves, grids), args.iters)
         t_frames = s * n * l
         print(
             f"{t_frames:5d} frames (bucket {gb}): native {t_nat*1e3:7.2f} ms, "
