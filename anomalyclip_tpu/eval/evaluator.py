@@ -327,24 +327,31 @@ def evaluate_videos(
     model: Optional[AnomalyCLIP] = None,
     on_video: Optional[Callable[[VideoScores], None]] = None,
     score_item: Optional[Callable[[TestItem], VideoScores]] = None,
+    should_stop: Optional[Callable[[], bool]] = None,
 ) -> Dict[str, np.ndarray]:
     """Concatenate per-video outputs over a test loader
     (anomaly_clip_module.py:500-504). The per-item scorer defaults to the
     checkpoint-backed score_video; pass ``score_item`` to route items through
     a different executable with the same accumulation (the exported-artifact
-    eval, eval_entry.py:_eval_artifact)."""
+    eval, eval_entry.py:_eval_artifact). ``should_stop`` is polled between
+    videos (preemption: SIGTERM must not burn the grace period on scoring);
+    a stopped epoch returns {} so partial numbers are never reported."""
     if score_item is None:
         score_item = lambda item: score_video(item, scorer, model)  # noqa: E731
     all_scores: List[np.ndarray] = []
     all_labels: List[np.ndarray] = []
     all_probs: List[np.ndarray] = []
     for item in loader:
+        if should_stop is not None and should_stop():
+            return {}
         vs = score_item(item)
         if on_video is not None:
             on_video(vs)
         all_scores.append(vs.scores)
         all_labels.append(vs.frame_labels)
         all_probs.append(vs.class_probs)
+    if not all_scores:
+        return {}
     return {
         "abnormal_scores": np.concatenate(all_scores),
         "labels": np.concatenate(all_labels),

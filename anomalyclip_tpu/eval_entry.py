@@ -103,7 +103,22 @@ def _eval_artifact(cfg) -> dict:
             item.path,
         )
 
-    outputs = evaluate_videos(datamodule.test_dataloader(), score_item=score_item)
+    # honor trainer.limit_test_batches like the checkpoint-backed path
+    # (module.test) — int = count, float <= 1.0 = fraction
+    limit = (cfg.get("trainer") or {}).get("limit_test_batches")
+    loader = datamodule.test_dataloader()
+    if limit is not None:
+        total = len(loader)
+        n = (
+            max(int(total * limit), 1)
+            if isinstance(limit, float) and limit <= 1.0
+            else min(int(limit), total)
+        )
+        loader = datamodule.test_dataloader(limit=n)
+
+    outputs = evaluate_videos(loader, score_item=score_item)
+    if not outputs:
+        raise SystemExit("artifact eval scored no test videos (empty test set?)")
 
     save_dir = Path(cfg.get("paths", {}).get("output_dir") or ".") / "artifact_eval"
     classnames = art.meta.get("classnames") or read_classnames(dm_cfg.labels_file)

@@ -205,7 +205,7 @@ def export_serving_artifact(
         "classnames": list(classnames) if classnames else None,
         "score_platforms": list(exported_score.platforms),
         "encode": encode_meta,
-        "jax_version": __import__("jax").__version__,
+        "jax_version": jax.__version__,
     }
     (out / "meta.json").write_text(json.dumps(meta, indent=2))
     return out

@@ -215,11 +215,8 @@ def predict_from_artifact(kv: dict) -> dict:
     art, data_cfg = artifact_bootstrap(kv)
     p = Path(input_path)
     enc = art.meta.get("encode")
-    if p.suffix != ".npy" and enc is None:
-        raise SystemExit(
-            "this artifact has no encoder graph — raw-frame inputs need "
-            "include_encoder=true at export time (feature .npy inputs work)"
-        )
+    # encoder-less artifacts reject raw-frame inputs inside _load_input (the
+    # input_size=0 guard) — one source of truth shared with serve
     raw = _load_input(p, data_cfg, int(enc["resolution"]) if enc else 0)
     result = art.predict(raw, str(input_path))
     _emit_result(result, kv.get("output"))
@@ -280,9 +277,9 @@ def score_input(module, state, raw: np.ndarray, path: str):
 def main(argv=None) -> dict:
     argv = list(sys.argv[1:] if argv is None else argv)
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
+    maybe_force_cpu(argv)  # honored in artifact mode too (before any jax init)
     if "artifact" in kv:
         return predict_from_artifact(kv)
-    maybe_force_cpu(argv)
     os.environ.setdefault("PROJECT_ROOT", str(Path(__file__).resolve().parents[1]))
 
     from anomalyclip_tpu.config import compose, default_config_dir

@@ -92,6 +92,7 @@ def _iter_watch(root: Path, poll_interval: float, stop_after: float):
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
+    maybe_force_cpu(argv)  # honored in artifact mode too (before any jax init)
     if "artifact" in kv:
         # deployment mode: the exported artifact is the whole contract — no
         # config tree, checkpoint, or model construction (export.py)
@@ -101,7 +102,6 @@ def main(argv=None) -> int:
         cfg = kv
         score_fn = art.predict
     else:
-        maybe_force_cpu(argv)
         os.environ.setdefault(
             "PROJECT_ROOT", str(Path(__file__).resolve().parents[1])
         )

@@ -737,10 +737,26 @@ class AnomalyCLIPTrainModule:
         # the (small: trainable+opt+BN) buffers alive one extra epoch
         boundary_epoch, boundary_state = start_epoch - 1, state
         last_saved_epoch = start_epoch - 1  # skip re-serializing in the grace window
+        multi_host = jax.process_count() > 1
+
+        def _global_flag() -> bool:
+            """The synchronized stop decision. Hosts observe SIGTERM at
+            different wall times; a host stopping unilaterally would strand
+            its peers inside a train-step collective (distributed deadlock).
+            Multi-host: a tiny flag allgather at an IDENTICAL program point on
+            every host — only epoch-boundary sites call this — makes the
+            decision global even when the signal reached a subset of hosts."""
+            if not multi_host:
+                return preempt_flag["set"]
+            from jax.experimental import multihost_utils
+
+            return bool(
+                np.any(multihost_utils.process_allgather(np.asarray(preempt_flag["set"])))
+            )
 
         def _handle_preempt(during_epoch: int) -> None:
             nonlocal last_saved_epoch
-            if not preempt_flag["set"]:
+            if not _global_flag():
                 return
             log.warning("SIGTERM received: checkpointing the last epoch boundary")
             if boundary_epoch >= 0 and boundary_epoch != last_saved_epoch and is_host_zero():
@@ -759,13 +775,18 @@ class AnomalyCLIPTrainModule:
                     f"preemption checkpoint saved at epoch {boundary_epoch}; "
                     f"resume with ckpt_path={self.ckpt.ckpt_dir / 'last'}"
                 )
-            if jax.process_count() > 1:
-                # pod preemption delivers SIGTERM to every host: meet here so no
-                # peer exits (tearing down the coordination service) while host
-                # zero is still writing the checkpoint
+            if multi_host:
+                # every host raises from this same call site (the decision was
+                # global), so all meet here and none exits — tearing down the
+                # coordination service — while host zero is still writing
                 from jax.experimental import multihost_utils
 
                 multihost_utils.sync_global_devices("preempt_checkpoint_saved")
+            if boundary_epoch < 0:
+                raise TrainingPreempted(
+                    f"preempted during epoch {during_epoch} before any epoch "
+                    "completed — no checkpoint written; restart from scratch"
+                )
             raise TrainingPreempted(
                 f"preempted during epoch {during_epoch} "
                 f"(saved boundary: epoch {boundary_epoch})"
@@ -779,7 +800,11 @@ class AnomalyCLIPTrainModule:
             for batch_idx, batch in enumerate(train_loader):
                 if batch_idx >= steps_per_epoch:
                     break
-                _handle_preempt(epoch)
+                if not multi_host:
+                    # per-step responsiveness on one host; multi-host checks
+                    # only at epoch boundaries (identical program points) so a
+                    # host never stops issuing collectives before its peers
+                    _handle_preempt(epoch)
                 key, step_key = jax.random.split(key)
                 state, metric_sums = train_step(
                     frozen, state, self._prepare_batch(batch), ncentroid, step_key,
@@ -814,7 +839,14 @@ class AnomalyCLIPTrainModule:
                     len(self.datamodule.val_dataloader()),
                     1 if fast_dev_run else trainer_cfg.get("limit_val_batches"),
                 )
-                last_val = self.validate(state, epoch, limit=val_limit)
+                # a SIGTERM mid-validation must not burn the grace period on
+                # scoring: bail between videos (eval has no cross-host
+                # collectives, so per-host early exit is safe even on pods);
+                # _handle_preempt below then checkpoints the epoch boundary
+                last_val = self.validate(
+                    state, epoch, limit=val_limit,
+                    should_stop=lambda: preempt_flag["set"],
+                )
                 self.loggers.log_metrics(
                     {
                         f"test/{k}": last_val[j]
@@ -903,13 +935,24 @@ class AnomalyCLIPTrainModule:
             }
         return self._text_frozen_dev
 
-    def validate(self, state: TrainState, epoch: int, limit: Optional[int] = None) -> Dict:
+    def validate(
+        self,
+        state: TrainState,
+        epoch: int,
+        limit: Optional[int] = None,
+        should_stop=None,
+    ) -> Dict:
         """Validation epoch -> detection metrics + metrics_{epoch}.json
-        (anomaly_clip_module.py:301-404)."""
+        (anomaly_clip_module.py:301-404). ``should_stop`` (polled between
+        videos) aborts with {} — the preemption path; no partial metrics are
+        written or logged."""
         scorer = self._scorer(state)
         outputs = evaluate_videos(
-            self.datamodule.val_dataloader(limit=limit), scorer, self.model
+            self.datamodule.val_dataloader(limit=limit), scorer, self.model,
+            should_stop=should_stop,
         )
+        if not outputs:
+            return {}
         det = detection_metrics(
             outputs["abnormal_scores"],
             outputs["labels"],
