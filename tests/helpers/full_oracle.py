@@ -49,6 +49,15 @@ from tests.helpers.reference_oracle import REFERENCE_ROOT
 # in tests/test_clip_parity.py.
 TINY_CLIP_ARGS = (64, 32, 2, 64, 16, 77, 49408, 64, 1, 2)
 
+# The real ViT-B/16 shapes (reference model.py:462-519 inferred from the OpenAI
+# checkpoint): embed 512, 224px, 12 vision layers x width 768 / patch 16, text
+# 77 ctx x vocab 49408 x width 512 x 8 heads x 12 layers. Used by the slow
+# full-shape composed oracle (tests/test_full_shape_oracle.py) — randomly
+# initialized, but every shape-dependent code path (197-token attention,
+# 14x14+1 position-embedding grid, 512-dim selector/temporal composition) is
+# the released-checkpoint path.
+VIT_B16_CLIP_ARGS = (512, 224, 12, 768, 16, 77, 49408, 512, 8, 12)
+
 
 class _DotMap(dict):
     """Just-enough DotMap: attribute access over the ctor kwargs."""
@@ -144,19 +153,22 @@ def load_reference_pipeline():
     return anomaly_clip, feature_dataset
 
 
-def build_reference_net(net_cfg: dict, *, clip_seed: int = 0) -> torch.nn.Module:
-    """The reference's composed AnomalyCLIP with a seeded tiny torch CLIP.
+def build_reference_net(
+    net_cfg: dict, *, clip_seed: int = 0, clip_args: tuple = TINY_CLIP_ARGS
+) -> torch.nn.Module:
+    """The reference's composed AnomalyCLIP with a seeded torch CLIP.
 
     ``net_cfg`` is the reference net-config dict (the keys of
-    configs/model/*.yaml `net:`); shapes must match CLIPConfig.tiny() on the JAX
-    side — the converter infers the CLIP config from the state dict.
+    configs/model/*.yaml `net:`); ``clip_args`` picks the CLIP shape — tiny by
+    default, ``VIT_B16_CLIP_ARGS`` for the full-shape oracle. The JAX side
+    needs no matching config: the converter infers it from the state dict.
     """
     anomaly_clip_mod, _ = load_reference_pipeline()
     clip_pkg = sys.modules["src.models.components.clip.clip"]
     clip_model_mod = sys.modules["src.models.components.clip.model"]
 
     torch.manual_seed(clip_seed)
-    tiny = clip_model_mod.CLIP(*TINY_CLIP_ARGS).float()
+    tiny = clip_model_mod.CLIP(*clip_args).float()
 
     orig_load = clip_pkg.load
     clip_pkg.load = lambda *a, **k: (tiny, None)

@@ -1,0 +1,375 @@
+"""Composed full-pipeline oracle at REAL ViT-B/16 shape.
+
+tests/test_full_pipeline_oracle.py pins the reference's composed pipeline at
+CLIPConfig.tiny() shapes; per-encoder parity at full ViT-B/16 shape lives in
+tests/test_clip_parity.py. This module closes the remaining gap between them —
+shape-dependent COMPOSITION bugs (the 14x14+1 position-embedding grid, the
+197-token attention layout, 512-dim selector/temporal/text-projection plumbing,
+and the fused Pallas kernel inside the composed net) — by building the
+reference net around a randomly-initialized *real* torch ViT-B/16 (reference
+model.py:233-290 shapes), pushing its weights through the production
+Lightning-checkpoint converter (the released-checkpoint path,
+convert_ckpt.convert_lightning_checkpoint), and asserting:
+
+  (a) the ncentroid bootstrap at 512-dim (anomaly_clip_module.py:147-170);
+  (b) the eval epoch: per-frame scores/class-probs and the detection metrics
+      (anomaly_clip_module.py:459-592) over the same synthetic corpus;
+  (c) the from-frames test forward at full 224^2 resolution — raw pixels
+      through the composed CLIP-visual encode + selector + temporal + stride
+      expansion (anomaly_clip.py:117-154);
+  (d) the same from-frames forward ON THE REAL TPU with the fused Pallas
+      attention kernels enabled (attention_impl("pallas")) — the shipped
+      production configuration — against the identical torch outputs.
+
+The grid is shrunk to 8x4 (config, not CLIP shape: the 32x16 production grid
+is pinned by the tiny oracle) so the torch ViT-B/16 CPU forwards stay in slow-
+test budget; everything shape-dependent in CLIP runs at released-checkpoint
+scale. All tests are slow-marked.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from tests.helpers import full_oracle as fo  # noqa: E402
+from tests.helpers.reference_oracle import reference_available  # noqa: E402
+from tests.helpers.synthetic_run import REPO_ROOT, synthetic_cfg  # noqa: E402
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not reference_available(), reason="reference checkout not present"
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def fs(tmp_path_factory):
+    """Synthetic 512-dim corpus + JAX module + reference net around a REAL
+    torch ViT-B/16, weights converted through the production path."""
+    tmp_path = tmp_path_factory.mktemp("full_shape_oracle")
+    cfg = synthetic_cfg(
+        tmp_path,
+        "model.net.clip_init=random-full",  # real ViT-B/16 shapes on our side
+        # grid size is config (32x16 pinned by the tiny oracle); 8x4 keeps the
+        # torch ViT-B/16 CPU forwards within slow-test budget
+        "model.net.num_segments=8",
+        "model.net.seg_length=4",
+        "data.num_segments=8",
+        "data.seg_length=4",
+        "data.synthetic_min_frames=200",
+        "data.synthetic_max_frames=400",
+        "model.net.select_idx_dropout_topk=0.0",
+        "model.net.select_idx_dropout_bottomk=0.0",
+        "data.num_workers=0",
+    )
+
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule
+
+    module = AnomalyCLIPTrainModule(cfg)  # generates the 512-dim corpus
+
+    net_cfg = {
+        k: v
+        for k, v in dict(cfg.model.net).items()
+        if k not in ("clip_init", "clip_ckpt_path", "compute_dtype", "quantize")
+    }
+    net = fo.build_reference_net(
+        net_cfg, clip_seed=5, clip_args=fo.VIT_B16_CLIP_ARGS
+    )
+    # non-trivial BN running stats: fresh mean=0/var=1 would hide axis mix-ups
+    g = torch.Generator().manual_seed(13)
+    bn = net.selector_model.bn_layer
+    bn.running_mean.copy_(0.3 * torch.randn(bn.running_mean.shape, generator=g))
+    bn.running_var.copy_(0.5 + torch.rand(bn.running_var.shape, generator=g))
+
+    ckpt = fo.lightning_checkpoint_from_net(net, tmp_path / "full_shape.ckpt")
+    state = module.load_state(str(ckpt))
+    assert module.model.embedding_dim == 512  # really running at B/16 shape
+    assert module.model.clip_cfg.vision_width == 768
+
+    _, feature_dataset_mod = fo.load_reference_pipeline()
+    return {
+        "tmp_path": tmp_path,
+        "cfg": cfg,
+        "module": module,
+        "state": state,
+        "net": net,
+        "ckpt": ckpt,
+        "feature_dataset_mod": feature_dataset_mod,
+        "data_cfg": dict(cfg.data),
+    }
+
+
+@pytest.fixture(scope="module")
+def ncentroids(fs):
+    ref_ds = fo.reference_normal_test_mode_dataset(
+        fs["data_cfg"], fs["feature_dataset_mod"]
+    )
+    ref_nc = fo.reference_ncentroid(ref_ds, fs["net"].embedding_dim)
+    ours = fs["module"].compute_ncentroid()
+    return ref_nc, np.asarray(ours)
+
+
+def test_ncentroid_bootstrap_matches_full_shape(ncentroids):
+    """(a) 512-dim mean-of-unpadded-normal-frames parity."""
+    ref_nc, ours = ncentroids
+    assert ref_nc.shape == (512,)
+    np.testing.assert_allclose(ours, ref_nc.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_eval_epoch_matches_full_shape(fs, ncentroids):
+    """(b) eval epoch at full shape: concatenated per-frame outputs AND the
+    detection metrics both sides compute from their own arrays."""
+    ref_nc, our_nc = ncentroids
+    module = fs["module"]
+    ref_ds = fo.reference_test_dataset(fs["data_cfg"], fs["feature_dataset_mod"])
+    ref = fo.reference_eval_epoch(fs["net"], ref_ds, ref_nc)
+
+    from anomalyclip_tpu.eval.evaluator import evaluate_videos
+    from anomalyclip_tpu.eval.metrics import detection_metrics
+
+    module.ncentroid = our_nc
+    scorer = module._scorer(fs["state"])
+    ours = evaluate_videos(module.datamodule.test_dataloader(), scorer, module.model)
+
+    assert ours["abnormal_scores"].shape == ref["abnormal_scores"].shape
+    np.testing.assert_array_equal(ours["labels"], ref["labels"])
+    np.testing.assert_allclose(
+        ours["abnormal_scores"], ref["abnormal_scores"], rtol=1e-4, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        ours["class_probs"], ref["class_probs"], rtol=1e-4, atol=5e-5
+    )
+
+    normal_id = int(fs["cfg"].data.normal_id)
+    num_classes = int(fs["cfg"].data.num_classes)
+    det_ref = detection_metrics(
+        ref["abnormal_scores"], ref["labels"], ref["class_probs"],
+        normal_id, num_classes,
+    )
+    det_ours = detection_metrics(
+        ours["abnormal_scores"], ours["labels"], ours["class_probs"],
+        normal_id, num_classes,
+    )
+    for key in ("auc_roc", "auc_pr", "mean_mc_auroc", "mean_mc_aupr",
+                "optimal_threshold"):
+        assert det_ours[key] == pytest.approx(det_ref[key], abs=1e-4), key
+
+
+@pytest.fixture(scope="module")
+def frames_case(fs, ncentroids):
+    """Shared from-frames test-forward case: identical preprocessed pixels +
+    the torch reference outputs at full 224^2 ViT-B/16 shape."""
+    import copy
+    import dataclasses
+
+    from anomalyclip_tpu.models.anomaly_clip import AnomalyCLIP
+
+    cfg = fs["cfg"]
+    ref_nc, _ = ncentroids
+    net_cfg = {
+        k: v
+        for k, v in dict(cfg.model.net).items()
+        if k not in ("clip_init", "clip_ckpt_path", "compute_dtype", "quantize")
+    }
+    net_cfg["load_from_features"] = False
+    ref_net = fo.build_reference_net(
+        net_cfg, clip_seed=5, clip_args=fo.VIT_B16_CLIP_ARGS
+    )
+    ref_net.load_state_dict(copy.deepcopy(fs["net"].state_dict()))
+    ref_net.eval()
+
+    n = int(cfg.model.net.num_segments)
+    l = int(cfg.model.net.seg_length)
+    side = fs["module"].model.clip_cfg.image_resolution
+    assert side == 224
+    segment_size = 2
+    t = n * segment_size * l  # 64 frames at 224^2 (ncrops=1)
+
+    rng = np.random.default_rng(31)
+    nchw = rng.standard_normal((1, t, 3, side, side)).astype(np.float32)
+    nhwc = np.ascontiguousarray(np.transpose(nchw, (0, 1, 3, 4, 2)))
+    with torch.no_grad():
+        ref_sim, ref_scores = ref_net(
+            torch.from_numpy(nchw),
+            torch.zeros(t, dtype=torch.long),  # labels: unused in test mode
+            ref_nc,
+            segment_size,
+            test_mode=True,
+        )
+
+    m = fs["module"].model
+    model = AnomalyCLIP(
+        dataclasses.replace(m.cfg, load_from_features=False),
+        m.clip_cfg,
+        m.classnames,
+        m.prompt_spec,
+    )
+    return {
+        "model": model,
+        "nhwc": nhwc,
+        "segment_size": segment_size,
+        "ref_sim": ref_sim.numpy(),
+        "ref_scores": ref_scores.numpy(),
+        "ref_nc": ref_nc.numpy(),
+    }
+
+
+def test_from_frames_test_forward_matches_full_shape(fs, frames_case):
+    """(c) raw 224^2 pixels through the composed net at real B/16 shape:
+    197-token attention, position-embedding grid, 512-dim selector/temporal."""
+    state = fs["state"]
+    sim, scores = frames_case["model"].forward_test(
+        fs["module"].frozen,
+        state.trainable,
+        state.bn_state,
+        jnp.asarray(frames_case["nhwc"]),
+        jnp.asarray(frames_case["ref_nc"]),
+        frames_case["segment_size"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(sim), frames_case["ref_sim"], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), frames_case["ref_scores"], rtol=1e-4, atol=1e-4
+    )
+
+
+def _tpu_subprocess_env() -> dict:
+    """Session env with the conftest CPU forcing undone: JAX_PLATFORMS back to
+    the harness default (axon TPU tunnel), virtual-device flag stripped."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    flags = [
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    env["XLA_FLAGS"] = " ".join(flags)
+    return env
+
+
+def _tpu_available() -> bool:
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; d = jax.devices(); assert d[0].platform == 'tpu'"],
+        env=_tpu_subprocess_env(),
+        cwd=str(REPO_ROOT),
+        capture_output=True,
+        timeout=180,
+    )
+    return probe.returncode == 0
+
+
+_TPU_DRIVER = """
+import json, sys
+import numpy as np
+
+spec = json.loads(sys.argv[1])
+
+import jax
+import jax.numpy as jnp
+
+from anomalyclip_tpu.convert_ckpt import (
+    convert_lightning_checkpoint,
+    converted_clip_config,
+    load_lightning_state_dict,
+)
+from anomalyclip_tpu.models.anomaly_clip import AnomalyCLIP, AnomalyCLIPConfig
+from anomalyclip_tpu.models.clip.model import attention_impl
+from anomalyclip_tpu.models.selector import BNState
+
+assert jax.devices()[0].platform == "tpu", jax.devices()
+
+sd = load_lightning_state_dict(spec["ckpt"])
+frozen, trainable, bn = convert_lightning_checkpoint(sd)
+clip_cfg = converted_clip_config(sd)
+cfg = AnomalyCLIPConfig(**spec["net"])
+model, _ = AnomalyCLIP.build(cfg, frozen["clip"], clip_cfg)
+
+data = np.load(spec["inputs"])
+to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+with attention_impl("pallas"):  # the shipped TPU production configuration
+    sim, scores = model.forward_test(
+        to_dev(frozen),
+        to_dev(trainable),
+        BNState(jnp.asarray(bn.mean), jnp.asarray(bn.var)),
+        jnp.asarray(data["frames"]),
+        jnp.asarray(data["ncentroid"]),
+        int(spec["segment_size"]),
+    )
+np.savez(spec["out"], sim=np.asarray(sim), scores=np.asarray(scores))
+print("tpu forward ok")
+"""
+
+
+def test_from_frames_fused_kernels_on_tpu_match(fs, frames_case):
+    """(d) the SAME composed from-frames forward on the real TPU chip with the
+    fused Pallas attention kernels on (attention_impl("pallas")) — production
+    numerics at released-checkpoint shape vs the torch oracle. fp32 compute
+    pins matmul precision to "highest" (true fp32 MXU passes), so tolerances
+    stay near the CPU ones."""
+    if not _tpu_available():
+        pytest.skip("no TPU reachable from a subprocess (axon tunnel down?)")
+
+    tmp_path = fs["tmp_path"]
+    inputs = tmp_path / "tpu_inputs.npz"
+    out = tmp_path / "tpu_outputs.npz"
+    np.savez(
+        inputs, frames=frames_case["nhwc"], ncentroid=frames_case["ref_nc"]
+    )
+    model = frames_case["model"]
+    spec = {
+        "ckpt": str(fs["ckpt"]),
+        "inputs": str(inputs),
+        "out": str(out),
+        "segment_size": frames_case["segment_size"],
+        "net": {
+            "arch": model.cfg.arch,
+            "labels_file": model.cfg.labels_file,
+            "emb_size": model.cfg.emb_size,
+            "depth": model.cfg.depth,
+            "heads": model.cfg.heads,
+            "dim_heads": model.cfg.dim_heads,
+            "num_segments": model.cfg.num_segments,
+            "seg_length": model.cfg.seg_length,
+            "concat_features": model.cfg.concat_features,
+            "normal_id": model.cfg.normal_id,
+            "stride": model.cfg.stride,
+            "load_from_features": False,
+            "ncrops": model.cfg.ncrops,
+            "num_topk": model.cfg.num_topk,
+            "num_bottomk": model.cfg.num_bottomk,
+            "n_ctx": model.cfg.n_ctx,
+            "shared_context": model.cfg.shared_context,
+            "ctx_init": model.cfg.ctx_init,
+            "compute_dtype": "float32",
+        },
+    }
+    proc = subprocess.run(
+        [sys.executable, "-c", _TPU_DRIVER, json.dumps(spec)],
+        env=_tpu_subprocess_env(),
+        cwd=str(REPO_ROOT),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+
+    got = np.load(out)
+    np.testing.assert_allclose(
+        got["sim"], frames_case["ref_sim"], rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        got["scores"], frames_case["ref_scores"], rtol=2e-4, atol=2e-4
+    )
