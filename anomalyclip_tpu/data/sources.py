@@ -5,9 +5,13 @@ Feature source (reference: src/data/components/feature_dataset.py:326-349): one
 
 Frame source (reference: src/data/components/video_dataset.py:203-206, 330-343 +
 src/utils/augmentations.py:21-34): ``{:06d}.jpg`` files per video directory, CLIP
-preprocessing = bicubic resize (short side) -> center crop -> scale to [0,1] ->
-normalize with CLIP mean/std. Output is NHWC float32 (TPU-native layout; the
-reference's NCHW is a torch convention).
+preprocessing = bicubic resize (short side) -> center crop, emitted as NHWC
+uint8 (TPU-native layout; the reference's NCHW is a torch convention). The
+[0,1]-scale + mean/std normalization happens ON DEVICE inside every encoder
+(models/clip/model.py:normalize_frames_on_device, identical fp32 arithmetic to
+``normalize_frames`` below), so host RAM and host->device transfer carry 1/4
+the float32 bytes. The 10-crop path still emits normalized float32 (the group
+transform pipeline owns its normalization).
 """
 
 from __future__ import annotations
@@ -77,11 +81,12 @@ def preprocess_frame(img, input_size: int = 224) -> np.ndarray:
     return normalize_frames(spatial_frame(img, input_size))
 
 
-def preprocess_frame_cv2(path: str, input_size: int = 224) -> np.ndarray:
-    """cv2 decode + preprocess: ~3-4x faster than PIL and releases the GIL during
-    decode/resize, so the loader's worker threads scale. INTER_AREA downscaling
-    approximates PIL's antialiased bicubic; enable with ``data.fast_decode=True``
-    when throughput matters more than bit-exact preprocessing parity."""
+def spatial_frame_cv2(path: str, input_size: int = 224) -> np.ndarray:
+    """cv2 decode + spatial preprocessing -> (input_size, input_size, 3) uint8
+    RGB: ~3-4x faster than PIL and releases the GIL during decode/resize, so the
+    loader's worker threads scale. INTER_AREA downscaling approximates PIL's
+    antialiased bicubic; enable with ``data.fast_decode=True`` when throughput
+    matters more than bit-exact preprocessing parity."""
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_COLOR)
@@ -94,8 +99,13 @@ def preprocess_frame_cv2(path: str, input_size: int = 224) -> np.ndarray:
     top = _center_offset(new_h - input_size)
     left = _center_offset(new_w - input_size)
     img = img[top : top + input_size, left : left + input_size]
-    arr = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
-    return (arr - CLIP_MEAN) / CLIP_STD
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def preprocess_frame_cv2(path: str, input_size: int = 224) -> np.ndarray:
+    """cv2 decode + full CLIP preprocessing -> (H, W, 3) float32 (see
+    spatial_frame_cv2 for the fast-decode geometry)."""
+    return normalize_frames(spatial_frame_cv2(path, input_size))
 
 
 class FrameSource:
@@ -141,13 +151,16 @@ class FrameSource:
         return video.num_frames
 
     def _load_one(self, record: VideoRecord, file_idx: int) -> np.ndarray:
+        """One spatially-preprocessed frame, kept uint8: normalization happens
+        ON DEVICE inside every encoder (normalize_frames_on_device — identical
+        fp32 arithmetic), so the loader holds and ships 1/4 the bytes."""
         path = os.path.join(record.frames_dir, self.image_tmpl.format(file_idx))
         if self.fast_decode:
-            return preprocess_frame_cv2(path, self.input_size)
+            return spatial_frame_cv2(path, self.input_size)
         from PIL import Image
 
         with Image.open(path) as img:
-            return preprocess_frame(img, self.input_size)
+            return spatial_frame(img, self.input_size)
 
     def _load_raw(self, record: VideoRecord, file_idx: int) -> np.ndarray:
         """Undecorated uint8 RGB frame (multicrop path decodes once, then the

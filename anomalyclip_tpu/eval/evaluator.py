@@ -70,14 +70,20 @@ def encode_frames_chunked(
     """Shared chunked CLIP frame encoding with one static chunk shape (one TPU
     compile serves the ncentroid pass and the test path alike).
 
-    uint8 input is CLIP-normalized per chunk, so callers with long videos
-    (predict.py's decode path) can hold frames in RAM at 1/4 the float32 cost."""
+    uint8 input flows to the device AS uint8 — every encoder normalizes it
+    in-graph (models/clip/model.py:normalize_frames_on_device), so the
+    host->device transfer carries 1/4 the float32 bytes and long videos
+    (predict.py's decode path) sit in RAM at 1/4 the cost. Callers whose
+    compiled graph predates the uint8 input contract (the exported serving
+    artifact's float32 encode spec) set ``encode_jit._host_normalize_uint8``
+    and get the old host-side normalize."""
     from anomalyclip_tpu.data.sources import normalize_frames
 
+    host_normalize = getattr(encode_jit, "_host_normalize_uint8", False)
     outs = []
     for i in range(0, len(frames), chunk):
         part = frames[i : i + chunk]
-        if part.dtype == np.uint8:
+        if part.dtype == np.uint8 and host_normalize:
             part = normalize_frames(part)
         # pad unconditionally: every call sees the same (chunk, H, W, 3) shape,
         # so the encoder compiles exactly once across all video lengths
@@ -328,6 +334,7 @@ def evaluate_videos(
     on_video: Optional[Callable[[VideoScores], None]] = None,
     score_item: Optional[Callable[[TestItem], VideoScores]] = None,
     should_stop: Optional[Callable[[], bool]] = None,
+    gather_processes: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Concatenate per-video outputs over a test loader
     (anomaly_clip_module.py:500-504). The per-item scorer defaults to the
@@ -335,25 +342,101 @@ def evaluate_videos(
     a different executable with the same accumulation (the exported-artifact
     eval, eval_entry.py:_eval_artifact). ``should_stop`` is polled between
     videos (preemption: SIGTERM must not burn the grace period on scoring);
-    a stopped epoch returns {} so partial numbers are never reported."""
+    a stopped epoch returns {} so partial numbers are never reported.
+
+    ``gather_processes=True``: multi-host evaluation. The loader yields only
+    this process's stride of the videos (SequentialTestLoader ``shard``);
+    per-video outputs are allgathered and re-concatenated in GLOBAL video
+    order, so every host returns arrays identical to a single-process pass —
+    a strict upgrade over the reference's rank-zero-only eval
+    (anomaly_clip_module.py:458,500): videos are embarrassingly parallel
+    across hosts. The stop decision is made global before the gather so a
+    preempted host can never strand its peers inside the collective."""
     if score_item is None:
         score_item = lambda item: score_video(item, scorer, model)  # noqa: E731
-    all_scores: List[np.ndarray] = []
-    all_labels: List[np.ndarray] = []
-    all_probs: List[np.ndarray] = []
+    indices = list(loader.global_indices()) if gather_processes else None
+    per_video: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    stopped = False
     for item in loader:
         if should_stop is not None and should_stop():
-            return {}
+            stopped = True
+            break
         vs = score_item(item)
         if on_video is not None:
             on_video(vs)
-        all_scores.append(vs.scores)
-        all_labels.append(vs.frame_labels)
-        all_probs.append(vs.class_probs)
-    if not all_scores:
+        per_video.append(
+            (vs.scores, np.asarray(vs.frame_labels), vs.class_probs)
+        )
+    if gather_processes and jax.process_count() > 1:
+        return _gather_process_outputs(per_video, indices[: len(per_video)], stopped)
+    if stopped or not per_video:
         return {}
     return {
-        "abnormal_scores": np.concatenate(all_scores),
-        "labels": np.concatenate(all_labels),
-        "class_probs": np.concatenate(all_probs),
+        "abnormal_scores": np.concatenate([v[0] for v in per_video]),
+        "labels": np.concatenate([v[1] for v in per_video]),
+        "class_probs": np.concatenate([v[2] for v in per_video]),
+    }
+
+
+def _gather_process_outputs(
+    per_video: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    indices: List[int],
+    stopped: bool,
+) -> Dict[str, np.ndarray]:
+    """Allgather per-video (scores, labels, class_probs) across processes and
+    re-concatenate in global video order.
+
+    ``process_allgather`` needs identical shapes on every host, and hosts own
+    different video counts/lengths, so the protocol is: (1) allgather the stop
+    flag + local sizes, (2) pad the flat local packs to the global maxima,
+    (3) allgather, (4) slice each host's videos back out by its (index, length)
+    table and reassemble in index order. Labels ride as float64 in the packed
+    buffers (frame labels are small ints: exact) and come back as int64."""
+    from jax.experimental import multihost_utils as mh
+
+    n_local = len(per_video)
+    local_frames = int(sum(len(v[0]) for v in per_video))
+    local_c = int(per_video[0][2].shape[1]) if per_video else 0
+    meta = mh.process_allgather(
+        np.array([int(stopped), n_local, local_frames, local_c], np.int64)
+    )  # (P, 4)
+    if bool(meta[:, 0].any()):
+        return {}  # some host was preempted mid-epoch: no partial metrics
+    if int(meta[:, 1].sum()) == 0:
+        return {}
+    max_videos = int(meta[:, 1].max())
+    max_frames = int(meta[:, 2].max())
+    num_c = int(meta[:, 3].max())
+
+    idx_tab = np.full((max_videos, 2), -1, np.int64)  # (global index, length)
+    scores_p = np.zeros((max_frames,), np.float32)
+    labels_p = np.zeros((max_frames,), np.float64)
+    probs_p = np.zeros((max_frames, num_c), np.float32)
+    off = 0
+    for k, (sc, lab, pr) in enumerate(per_video):
+        idx_tab[k] = (indices[k], len(sc))
+        scores_p[off : off + len(sc)] = sc
+        labels_p[off : off + len(sc)] = lab
+        probs_p[off : off + len(sc)] = pr
+        off += len(sc)
+
+    g_idx = mh.process_allgather(idx_tab)  # (P, max_videos, 2)
+    g_scores = mh.process_allgather(scores_p)  # (P, max_frames)
+    g_labels = mh.process_allgather(labels_p)
+    g_probs = mh.process_allgather(probs_p)  # (P, max_frames, C)
+
+    by_index: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for p in range(g_idx.shape[0]):
+        off = 0
+        for gi, length in g_idx[p]:
+            if gi < 0:
+                break
+            sl = slice(off, off + int(length))
+            by_index[int(gi)] = (g_scores[p][sl], g_labels[p][sl], g_probs[p][sl])
+            off += int(length)
+    order = sorted(by_index)
+    return {
+        "abnormal_scores": np.concatenate([by_index[i][0] for i in order]),
+        "labels": np.concatenate([by_index[i][1] for i in order]).astype(np.int64),
+        "class_probs": np.concatenate([by_index[i][2] for i in order]),
     }

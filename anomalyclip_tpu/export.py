@@ -227,7 +227,20 @@ class ServingArtifact:
         # of host overhead); jit once here so warm calls hit the executable
         # cache directly (one compile per concrete shape, as usual)
         self._score_call = jax.jit(score_exp.call)
-        self._encode_call = jax.jit(encode_exp.call) if encode_exp is not None else None
+        if encode_exp is not None:
+            _call = jax.jit(encode_exp.call)
+
+            def encode_call(leaves, frames, _call=_call):
+                return _call(leaves, frames)
+
+            # the exported encode graph is traced with a float32 input spec
+            # (export_serving_artifact), so uint8 ingest normalizes on the host
+            # here — unlike the checkpoint-backed encoders, which take uint8
+            # in-graph (encode_frames_chunked checks this flag)
+            encode_call._host_normalize_uint8 = True
+            self._encode_call = encode_call
+        else:
+            self._encode_call = None
 
     @classmethod
     def load(cls, path: str | Path) -> "ServingArtifact":

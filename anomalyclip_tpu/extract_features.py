@@ -103,8 +103,11 @@ def main(argv: Optional[Iterable[str]] = None) -> int:
 
     @jax.jit
     def encode_jit(frozen, frames):
+        # frames arrive uint8 (FrameSource): encode_image normalizes on device
+        # in fp32 then casts to compute_dtype — an eager astype here would skip
+        # the normalize and feed 0-255 pixels to the tower
         return encode_image(
-            frozen, cfg, frames.astype(compute_dtype), compute_dtype=compute_dtype
+            frozen, cfg, frames, compute_dtype=compute_dtype
         ).astype(jnp.float32)
 
     source = FrameSource(

@@ -341,6 +341,20 @@ def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(b, gh * gw, c * patch * patch)
 
 
+def normalize_frames_on_device(images: jnp.ndarray) -> jnp.ndarray:
+    """uint8 RGB (..., H, W, 3) -> CLIP-normalized float32, inside the jit.
+
+    The exact fp32 arithmetic of data/sources.normalize_frames (same constants,
+    same op order), so a uint8 ingest path scores bit-identically to host
+    normalization — but the host->device transfer carries 1/4 the bytes and the
+    normalize rides the TPU VPU fused into the encode graph instead of burning
+    host cycles (reference preprocesses to float on the host via torchvision,
+    src/utils/augmentations.py:21-34)."""
+    from anomalyclip_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+    return (images.astype(jnp.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+
+
 def encode_image(
     params: Params,
     cfg: CLIPConfig,
@@ -348,7 +362,10 @@ def encode_image(
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """Visual forward: (B, H, W, 3) NHWC -> (B, embed_dim). ViT (model.py:266-290)
-    or ModifiedResNet (model.py:159-171) depending on the config."""
+    or ModifiedResNet (model.py:159-171) depending on the config. uint8 input is
+    CLIP-normalized on device (normalize_frames_on_device)."""
+    if images.dtype == jnp.uint8:
+        images = normalize_frames_on_device(images)
     with matmul_precision_for(compute_dtype):
         if cfg.is_resnet:
             from anomalyclip_tpu.models.clip.resnet import resnet_encode_image

@@ -159,7 +159,12 @@ def encode_image_int8(
     Mirrors model.py:_encode_image layer for layer; ViT only (the RN family
     stays on the fp path). compute_dtype governs the non-GEMM compute exactly
     as in encode_image — incl. the highest-precision matmul mode for fp32
-    (model.py:37-42: the TPU default silently truncates fp32 operands)."""
+    (model.py:37-42: the TPU default silently truncates fp32 operands).
+    uint8 input is CLIP-normalized on device, exactly like encode_image."""
+    if images.dtype == jnp.uint8:
+        from anomalyclip_tpu.models.clip.model import normalize_frames_on_device
+
+        images = normalize_frames_on_device(images)
     with matmul_precision_for(compute_dtype):
         return _encode_image_int8(qvisual, cfg, images, compute_dtype)
 

@@ -262,6 +262,10 @@ def tp_encode_images_aligned(cfg, mesh: Mesh, compute_dtype="float32") -> Callab
 
     def fn(params, images):
         visual = params["visual"]
+        if images.dtype == jnp.uint8:
+            from anomalyclip_tpu.models.clip.model import normalize_frames_on_device
+
+            images = normalize_frames_on_device(images)
         with matmul_precision_for(dtype):
             x = patchify(images.astype(dtype), cfg.vision_patch_size)
             x = x @ visual["patch_embed"].astype(dtype)

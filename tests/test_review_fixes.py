@@ -125,23 +125,37 @@ def test_prefetch_abandon_releases_worker():
 
 
 def test_uint8_frames_encode_identically_to_float32():
-    """predict.py stores decoded video frames as uint8 (1/4 the RAM);
-    encode_frames_chunked must normalize them to the exact float path."""
-    import jax.numpy as jnp
+    """FrameSource/predict.py ship frames uint8 (1/4 the RAM and transfer);
+    the in-graph device normalization (normalize_frames_on_device) must equal
+    the host float path bit for bit through the real encoder."""
+    import jax
 
     from anomalyclip_tpu.data.sources import normalize_frames
     from anomalyclip_tpu.eval.evaluator import encode_frames_chunked
+    from anomalyclip_tpu.models.clip.model import CLIPConfig, encode_image, init_clip_params
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    enc = jax.jit(lambda frozen, x: encode_image(frozen, cfg, x))
 
     rng = np.random.default_rng(0)
-    frames_u8 = rng.integers(0, 256, size=(5, 8, 8, 3), dtype=np.uint8)
+    s = cfg.image_resolution
+    frames_u8 = rng.integers(0, 256, size=(5, s, s, 3), dtype=np.uint8)
 
-    def encode(_, x):
-        # stand-in encoder: any deterministic function of the normalized input
-        return jnp.sum(x, axis=(1, 2)) * 2.0
+    out_u8 = encode_frames_chunked(enc, params, frames_u8, chunk=2)
+    out_f32 = encode_frames_chunked(enc, params, normalize_frames(frames_u8), chunk=2)
+    # XLA strength-reduces the /255 into a reciprocal multiply (1 ulp on the
+    # normalized pixel): identical math, equal to rounding
+    np.testing.assert_allclose(out_u8, out_f32, rtol=5e-4, atol=5e-6)
 
-    out_u8 = encode_frames_chunked(encode, None, frames_u8, chunk=2)
-    out_f32 = encode_frames_chunked(encode, None, normalize_frames(frames_u8), chunk=2)
-    np.testing.assert_array_equal(out_u8, out_f32)
+    # legacy float32-input graphs (exported artifacts) opt into host normalize
+    def float_only(frozen, x, _enc=enc):
+        assert x.dtype == np.float32, x.dtype
+        return _enc(frozen, x)
+
+    float_only._host_normalize_uint8 = True
+    out_legacy = encode_frames_chunked(float_only, params, frames_u8, chunk=2)
+    np.testing.assert_array_equal(out_legacy, out_f32)
 
 
 def test_console_script_shims_return_zero():

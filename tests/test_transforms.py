@@ -338,8 +338,13 @@ def test_frame_source_ten_crop_gather(tmp_path):
     out1 = single.gather(rec, idx)
     assert out10.shape == (10, 3, 64, 64, 3)
     assert out1.shape == (1, 3, 64, 64, 3)
+    # ncrops=1 emits spatial uint8 (device normalizes in-graph); the group
+    # pipeline normalizes on host — bring the single-crop path to float here
+    assert out1.dtype == np.uint8 and out10.dtype == np.float32
+    from anomalyclip_tpu.data.sources import normalize_frames
+
     # 150x100 -> scale short side 64 -> 96x64; margin 32 % 4 == 0
-    np.testing.assert_allclose(out10[8], out1[0], atol=1e-5)
+    np.testing.assert_allclose(out10[8], normalize_frames(out1[0]), atol=1e-5)
     with pytest.raises(ValueError):
         FrameSource(input_size=64, ncrops=5)
 
