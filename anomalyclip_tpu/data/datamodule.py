@@ -102,7 +102,11 @@ class AnomalyCLIPDataModule:
     def num_classes(self) -> int:
         return self.cfg.num_classes
 
-    def train_dataloader(self) -> DualStreamTrainLoader:
+    def train_dataloader(self, shard: tuple = (0, 1)) -> DualStreamTrainLoader:
+        """``shard=(process_index, process_count)``: per-rank batch-block
+        loading for multi-host training (see DualStreamTrainLoader); the
+        caller (train module) passes jax process coordinates so this module
+        stays backend-free."""
         self.setup()
         return DualStreamTrainLoader(
             normal=self.train_data_normal,
@@ -110,18 +114,28 @@ class AnomalyCLIPDataModule:
             batch_size=self.cfg.batch_size,
             seed=self.seed,
             num_workers=self.cfg.num_workers,
+            process_index=shard[0],
+            process_count=shard[1],
         )
 
-    def val_dataloader(self, limit: Optional[int] = None) -> SequentialTestLoader:
+    def val_dataloader(
+        self, limit: Optional[int] = None, shard: tuple = (0, 1)
+    ) -> SequentialTestLoader:
         self.setup()
-        return SequentialTestLoader(self.test_data, limit=limit)
+        return SequentialTestLoader(self.test_data, limit=limit, shard=shard)
 
-    def test_dataloader(self, limit: Optional[int] = None) -> SequentialTestLoader:
+    def test_dataloader(
+        self, limit: Optional[int] = None, shard: tuple = (0, 1)
+    ) -> SequentialTestLoader:
         self.setup()
-        return SequentialTestLoader(self.test_data, limit=limit)
+        return SequentialTestLoader(self.test_data, limit=limit, shard=shard)
 
-    def train_dataloader_test_mode(self, limit: Optional[int] = None) -> SequentialTestLoader:
+    def train_dataloader_test_mode(
+        self, limit: Optional[int] = None, shard: tuple = (0, 1)
+    ) -> SequentialTestLoader:
         """Normal-training videos in test (covering) mode, for the ncentroid
         bootstrap (anomaly_clip_module.py:146, datamodule :185-193)."""
         self.setup()
-        return SequentialTestLoader(self.train_data_normal_test_mode, limit=limit)
+        return SequentialTestLoader(
+            self.train_data_normal_test_mode, limit=limit, shard=shard
+        )

@@ -27,6 +27,20 @@ import numpy as np
 from anomalyclip_tpu.data.dataset import TestItem, VideoDataset
 
 
+def limit_count(total: int, limit) -> int:
+    """Resolve a Lightning-style ``limit_*_batches`` knob to a batch count.
+
+    ``None`` = everything, a float <= 1.0 = fraction of ``total`` (at least 1),
+    an int = absolute cap. Shared by the train module's steps-per-epoch /
+    val / test limits and the artifact-eval CLI so the semantics cannot drift
+    (reference contract: Lightning Trainer ``limit_train/val/test_batches``)."""
+    if limit is None:
+        return total
+    if isinstance(limit, float) and limit <= 1.0:
+        return max(int(total * limit), 1)
+    return min(int(limit), total)
+
+
 class TrainBatch(NamedTuple):
     abnormal_features: np.ndarray  # (b/2, n*l, D) or frames
     abnormal_labels: np.ndarray  # (b/2,)
@@ -51,12 +65,34 @@ class DualStreamTrainLoader:
         seed: int = 0,
         num_workers: int = 8,
         prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``process_index``/``process_count``: per-rank data sharding for
+        multi-host training (the Lightning DistributedSampler analogue,
+        reference configs/trainer/ddp.yaml:3-8 via use_distributed_sampler).
+        Every process builds the IDENTICAL global epoch plan (same seed, same
+        permutations, same per-item augmentation seeds), then loads only its
+        contiguous block of each global batch — rows
+        [p*half/P, (p+1)*half/P) of each half, matching the process-block
+        device order of a 1-D mesh built from jax.devices() — so host decode/IO
+        scales with ranks while the assembled global batch is bit-identical to
+        the single-process one (pinned in tests/test_data.py)."""
         if batch_size % 2 != 0:
             raise ValueError("batch_size must be even (abnormal/normal halves)")
+        if (batch_size // 2) % process_count != 0:
+            raise ValueError(
+                f"per-half batch {batch_size // 2} must divide evenly over "
+                f"{process_count} processes"
+            )
+        if not 0 <= process_index < process_count:
+            raise ValueError((process_index, process_count))
         self.normal = normal
         self.abnormal = abnormal
         self.half = batch_size // 2
+        self.process_index = process_index
+        self.process_count = process_count
+        self.local_half = self.half // process_count
         self.seed = seed
         self.num_workers = max(num_workers, 1)
         self.prefetch = prefetch
@@ -100,13 +136,18 @@ class DualStreamTrainLoader:
 
     def _make_batch(self, a_ids, n_ids, batch_seed) -> TrainBatch:
         rng = np.random.default_rng(batch_seed)
+        # the FULL global seed draw on every process (cheap), then the local
+        # block slice: rank p's items are bit-identical to rows
+        # [p*local_half, (p+1)*local_half) of the single-process batch
         item_seeds = rng.integers(np.iinfo(np.int64).max, size=2 * self.half)
+        lo = self.process_index * self.local_half
+        hi = lo + self.local_half
         a_items = list(
             self._pool.map(
                 lambda args: self.abnormal.train_item(
                     int(args[0]), np.random.default_rng(int(args[1]))
                 ),
-                zip(a_ids, item_seeds[: self.half]),
+                zip(a_ids[lo:hi], item_seeds[: self.half][lo:hi]),
             )
         )
         n_items = list(
@@ -114,7 +155,7 @@ class DualStreamTrainLoader:
                 lambda args: self.normal.train_item(
                     int(args[0]), np.random.default_rng(int(args[1]))
                 ),
-                zip(n_ids, item_seeds[self.half :]),
+                zip(n_ids[lo:hi], item_seeds[self.half :][lo:hi]),
             )
         )
         a_feats = np.stack([f for f, _ in a_items])  # (b/2, ncrops, t, ...)
@@ -134,20 +175,44 @@ class DualStreamTrainLoader:
 
 class SequentialTestLoader:
     """Per-video test iteration (batch_size_test=1 semantics,
-    anomaly_clip_datamodule.py:165-193), with background prefetch."""
+    anomaly_clip_datamodule.py:165-193), with background prefetch.
 
-    def __init__(self, dataset: VideoDataset, prefetch: int = 2, limit: Optional[int] = None):
+    ``shard=(p, P)`` restricts the loader to global video indices
+    p, p+P, p+2P, ... of the (limit-truncated) dataset — per-rank eval
+    sharding: each host loads and scores only its stride of the videos
+    (the reference evaluates rank-zero-only, anomaly_clip_module.py:458).
+    ``global_indices()`` exposes the indices for cross-process reassembly.
+    """
+
+    def __init__(
+        self,
+        dataset: VideoDataset,
+        prefetch: int = 2,
+        limit: Optional[int] = None,
+        shard: tuple = (0, 1),
+    ):
         self.dataset = dataset
         self.prefetch = prefetch
         self.limit = limit
+        p, count = shard
+        if not 0 <= p < count:
+            raise ValueError(shard)
+        self.shard = (int(p), int(count))
 
-    def __len__(self) -> int:
+    def _global_len(self) -> int:
         n = len(self.dataset)
         return min(n, self.limit) if self.limit is not None else n
 
+    def global_indices(self) -> range:
+        p, count = self.shard
+        return range(p, self._global_len(), count)
+
+    def __len__(self) -> int:
+        return len(self.global_indices())
+
     def __iter__(self) -> Iterator[TestItem]:
         return _prefetched(
-            (self.dataset.test_item(i) for i in range(len(self))), self.prefetch
+            (self.dataset.test_item(i) for i in self.global_indices()), self.prefetch
         )
 
 

@@ -100,10 +100,16 @@ def write_test_artifacts(
     num_classes: int,
     class_names: List[str],
     epoch: int = 0,
+    write_files: bool = True,
 ) -> Dict:
-    """The full test_epoch_end artifact block (anomaly_clip_module.py:500-691)."""
+    """The full test_epoch_end artifact block (anomaly_clip_module.py:500-691).
+
+    ``write_files=False`` computes and returns the identical metrics dict with
+    zero filesystem IO — multi-host test() calls it that way on non-zero hosts
+    so every process returns the same metrics while exactly one writes."""
     save_dir = Path(save_dir)
-    save_dir.mkdir(parents=True, exist_ok=True)
+    if write_files:
+        save_dir.mkdir(parents=True, exist_ok=True)
 
     det = M.detection_metrics(abnormal_scores, labels, class_probs, normal_id, num_classes)
     class_probs_full = det.pop("class_probs_full")
@@ -123,6 +129,8 @@ def write_test_artifacts(
         "top5_accuracy": np.nan_to_num(acc5).tolist(),
         "optimal_threshold": det["optimal_threshold"],
     }
+    if not write_files:
+        return metrics
     write_metrics_json(save_dir, metrics, epoch=None)
 
     fpr, tpr, _ = M.roc_curve(abnormal_scores, labels_binary)

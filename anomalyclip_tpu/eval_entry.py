@@ -104,17 +104,13 @@ def _eval_artifact(cfg) -> dict:
         )
 
     # honor trainer.limit_test_batches like the checkpoint-backed path
-    # (module.test) — int = count, float <= 1.0 = fraction
+    # (module.test) — shared semantics: int = count, float <= 1.0 = fraction
+    from anomalyclip_tpu.data.loader import limit_count
+
     limit = (cfg.get("trainer") or {}).get("limit_test_batches")
     loader = datamodule.test_dataloader()
     if limit is not None:
-        total = len(loader)
-        n = (
-            max(int(total * limit), 1)
-            if isinstance(limit, float) and limit <= 1.0
-            else min(int(limit), total)
-        )
-        loader = datamodule.test_dataloader(limit=n)
+        loader = datamodule.test_dataloader(limit=limit_count(len(loader), limit))
 
     outputs = evaluate_videos(loader, score_item=score_item)
     if not outputs:

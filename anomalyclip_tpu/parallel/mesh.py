@@ -82,8 +82,21 @@ def usable_data_devices(half_batch: int, devices: Optional[Sequence] = None) -> 
 
     Each batch half (abnormal/normal) shards independently, so the constraint is
     ``half_batch % n_devices == 0``.
+
+    Multi-host: the mesh must span EVERY process's devices (all processes
+    participate in the SPMD train step, and the per-rank loader contributes
+    one batch block per process), so shrinking to a prefix is not available —
+    the batch either divides the full slice or the run fails loudly here.
     """
     devices = list(devices if devices is not None else jax.devices())
+    if jax.process_count() > 1:
+        if half_batch % len(devices) != 0 or half_batch % jax.process_count() != 0:
+            raise ValueError(
+                f"multi-host run: per-half batch {half_batch} must divide the "
+                f"{len(devices)}-device slice ({jax.process_count()} processes); "
+                "adjust data.batch_size"
+            )
+        return devices
     n = len(devices)
     while n > 1 and half_batch % n != 0:
         n -= 1
@@ -105,9 +118,23 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_train_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put every array in a batch pytree with its leading axis sharded."""
+    """Place a batch pytree into the data-sharded global layout.
+
+    Single process: plain ``device_put`` of the full array (each device takes
+    its slice). Multi-host: each process holds only ITS contiguous block of
+    the global batch (the per-rank loader contract, data/loader.py
+    DualStreamTrainLoader) and contributes it via
+    ``jax.make_array_from_process_local_data`` — the DistributedSampler-style
+    ingest of the reference's DDP path (configs/trainer/ddp.yaml), with host
+    IO scaling 1/P instead of every host decoding the full global batch.
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

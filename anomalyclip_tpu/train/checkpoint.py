@@ -53,11 +53,20 @@ class CheckpointManager:
         ``last`` is a symlink to the newest epoch directory — one serialize per
         epoch instead of two. ``save_top_k > 0`` keeps only the newest k epoch
         checkpoints (monitor: null in the reference default, so "top" = newest).
+
+        Multi-host: EVERY process must call this at the same program point —
+        Orbax's save is itself a collective (it runs sync_global_processes
+        barriers internally; a host-zero-only call deadlocks its peers). Orbax
+        writes array data from the primary host only; the symlink/retention
+        filesystem mutations below are additionally host-zero-gated so a
+        shared checkpoint directory has exactly one mutator.
         """
         payload = _to_saveable(state)
         path = self.ckpt_dir / f"epoch_{epoch:03d}"
         self._saver.save(path.resolve(), payload, force=True)
         self._saver.wait_until_finished()
+        if jax.process_index() != 0:
+            return path
         if self.save_last:
             last = self.ckpt_dir / "last"
             tmp = self.ckpt_dir / ".last.tmp"

@@ -29,7 +29,7 @@ import optax
 
 from anomalyclip_tpu.config import ConfigNode
 from anomalyclip_tpu.data.datamodule import AnomalyCLIPDataModule, DataConfig
-from anomalyclip_tpu.data.loader import TrainBatch
+from anomalyclip_tpu.data.loader import TrainBatch, limit_count as _limit_count
 from anomalyclip_tpu.data.synthetic import generate_synthetic_dataset
 from anomalyclip_tpu.eval.artifacts import write_metrics_json, write_test_artifacts
 from anomalyclip_tpu.eval.evaluator import GridScorer, evaluate_videos
@@ -75,12 +75,6 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def _limit_count(total: int, limit) -> int:
-    if limit is None:
-        return total
-    if isinstance(limit, float) and limit <= 1.0:
-        return max(int(total * limit), 1)
-    return min(int(limit), total)
 
 
 def _net_config(net_cfg: Dict[str, Any]) -> AnomalyCLIPConfig:
@@ -315,18 +309,19 @@ class AnomalyCLIPTrainModule:
         """The data mesh for evaluation/serving, independent of the training
         batch size (the train mesh shrinks to divide half_batch — irrelevant
         here: eval buckets round themselves to any mesh). Uses the largest
-        local-device prefix dividing ENCODE_CHUNK so the sharded frame chunks
-        always split evenly. None when it would not parallelize anything:
-        single device, or multi-host (per-host outputs must stay fully
-        addressable for the host-side grid layout inversion)."""
+        LOCAL-device prefix dividing ENCODE_CHUNK so the sharded frame chunks
+        always split evenly. Local devices only: videos are sharded ACROSS
+        hosts by stride (validate/test + SequentialTestLoader shard), and each
+        host scores its share over its own chips — outputs stay fully
+        addressable for the host-side grid layout inversion, and no cross-host
+        collective ever enters the score program. None when a mesh would not
+        parallelize anything (one local device)."""
         if not hasattr(self, "_eval_mesh_cache"):
-            devs = jax.devices()
+            devs = jax.local_devices()
             n = len(devs)
             while n > 1 and AnomalyCLIP.ENCODE_CHUNK % n:
                 n -= 1
-            self._eval_mesh_cache = (
-                data_mesh(devs[:n]) if n > 1 and jax.process_count() == 1 else None
-            )
+            self._eval_mesh_cache = data_mesh(devs[:n]) if n > 1 else None
         return self._eval_mesh_cache
 
     def _frozen_on_device(self):
@@ -423,6 +418,18 @@ class AnomalyCLIPTrainModule:
         """Mean CLIP feature over every frame of the normal training videos
         (anomaly_clip_module.py:134-171); cached as ncentroid.npy."""
         cached = load_ncentroid(self.save_dir)
+        if jax.process_count() > 1:
+            # the cache-hit decision must be GLOBAL: the compute path below ends
+            # in an allgather, so one host taking the early return while another
+            # recomputes (host-local run dirs) would deadlock the collective
+            from jax.experimental import multihost_utils
+
+            if not bool(
+                multihost_utils.process_allgather(
+                    np.asarray(cached is not None)
+                ).all()
+            ):
+                cached = None
         if cached is not None and limit is None:
             # limited passes (fast_dev_run) neither trust nor write the cache: a
             # 1-video centroid in the run dir must not poison later full runs
@@ -431,7 +438,13 @@ class AnomalyCLIPTrainModule:
         log.info("computing ncentroid over normal training videos ...")
         total = np.zeros(self.model.embedding_dim, dtype=np.float64)
         count = 0
-        for item in self.datamodule.train_dataloader_test_mode(limit=limit):
+        # multi-host: each process sums only its stride of the normal videos
+        # (host IO scales 1/P), then one allgather reduces (sum, count) — the
+        # fp64 accumulator keeps the split-order difference below fp32 rounding
+        shard = (jax.process_index(), jax.process_count())
+        for item in self.datamodule.train_dataloader_test_mode(
+            limit=limit, shard=shard
+        ):
             feats = item.features  # (ncrops, t, D) or frames
             flat = feats.reshape(-1, *feats.shape[2:])
             flat = flat[: len(item.frame_labels)]  # drop padding frames (:155-157)
@@ -439,8 +452,18 @@ class AnomalyCLIPTrainModule:
                 flat = self._frame_features(flat)
             total += flat.reshape(len(flat), -1).sum(axis=0, dtype=np.float64)
             count += len(flat)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            packed = multihost_utils.process_allgather(
+                np.concatenate([total, [np.float64(count)]])
+            )  # (P, D+1)
+            total = packed[:, :-1].sum(axis=0)
+            count = float(packed[:, -1].sum())
         ncentroid = (total / max(count, 1)).astype(np.float32)
-        if limit is None:  # never cache a truncated centroid
+        if limit is None and is_host_zero():  # never cache a truncated centroid;
+            # one writer on shared filesystems (every host computed the same
+            # allgather-reduced value anyway)
             save_ncentroid(self.save_dir, ncentroid)
         self.ncentroid = ncentroid
         return ncentroid
@@ -638,8 +661,12 @@ class AnomalyCLIPTrainModule:
         )
 
         # kept on self so _fit's finally can join the worker pool even when an
-        # epoch raises (multirun trials share one process)
-        train_loader = self._train_loader = self.datamodule.train_dataloader()
+        # epoch raises (multirun trials share one process). Multi-host: each
+        # process's loader yields only its block of every global batch
+        # (per-rank ingest; _prepare_batch assembles the global array)
+        train_loader = self._train_loader = self.datamodule.train_dataloader(
+            shard=(jax.process_index(), jax.process_count())
+        )
         overfit_batches = int(trainer_cfg.get("overfit_batches") or 0)
         steps_per_epoch = _limit_count(
             len(train_loader), trainer_cfg.get("limit_train_batches")
@@ -738,6 +765,12 @@ class AnomalyCLIPTrainModule:
         boundary_epoch, boundary_state = start_epoch - 1, state
         last_saved_epoch = start_epoch - 1  # skip re-serializing in the grace window
         multi_host = jax.process_count() > 1
+        # multi-host flag-allgather cadence: each poll is a host-level sync, so
+        # polling every step would serialize async dispatch; every K steps keeps
+        # the grace-window response under a few seconds at negligible cost
+        preempt_poll_steps = max(
+            1, int(trainer_cfg.get("preempt_poll_every_n_steps", 8))
+        )
 
         def _global_flag() -> bool:
             """The synchronized stop decision. Hosts observe SIGTERM at
@@ -759,22 +792,33 @@ class AnomalyCLIPTrainModule:
             if not _global_flag():
                 return
             log.warning("SIGTERM received: checkpointing the last epoch boundary")
-            if boundary_epoch >= 0 and boundary_epoch != last_saved_epoch and is_host_zero():
-                self.ckpt.save_epoch(
-                    boundary_epoch,
-                    {
-                        "trainable": boundary_state.trainable,
-                        "opt_state": boundary_state.opt_state,
-                        "bn_state": boundary_state.bn_state,
-                        "step": np.asarray(boundary_state.step),
-                        "epoch": np.asarray(boundary_epoch),
-                    },
-                )
-                last_saved_epoch = boundary_epoch
-                log.warning(
-                    f"preemption checkpoint saved at epoch {boundary_epoch}; "
-                    f"resume with ckpt_path={self.ckpt.ckpt_dir / 'last'}"
-                )
+            save_error: Optional[BaseException] = None
+            # EVERY host calls save_epoch: the Orbax save is itself a
+            # collective (checkpoint.py:save_epoch) — the boundary/epoch guards
+            # evaluate identically on all hosts, so the call sites align
+            if boundary_epoch >= 0 and boundary_epoch != last_saved_epoch:
+                # a failed save (disk full, GCS error) must NOT strand the other
+                # hosts in the barrier below until the preemption kill: catch,
+                # reach the sync like everyone else, then surface the error
+                try:
+                    self.ckpt.save_epoch(
+                        boundary_epoch,
+                        {
+                            "trainable": boundary_state.trainable,
+                            "opt_state": boundary_state.opt_state,
+                            "bn_state": boundary_state.bn_state,
+                            "step": np.asarray(boundary_state.step),
+                            "epoch": np.asarray(boundary_epoch),
+                        },
+                    )
+                    last_saved_epoch = boundary_epoch
+                    log.warning(
+                        f"preemption checkpoint saved at epoch {boundary_epoch}; "
+                        f"resume with ckpt_path={self.ckpt.ckpt_dir / 'last'}"
+                    )
+                except Exception as e:  # noqa: BLE001 — deliberate catch-all
+                    save_error = e
+                    log.error(f"preemption checkpoint save FAILED: {e!r}")
             if multi_host:
                 # every host raises from this same call site (the decision was
                 # global), so all meet here and none exits — tearing down the
@@ -782,6 +826,11 @@ class AnomalyCLIPTrainModule:
                 from jax.experimental import multihost_utils
 
                 multihost_utils.sync_global_devices("preempt_checkpoint_saved")
+            if save_error is not None:
+                raise TrainingPreempted(
+                    f"preempted during epoch {during_epoch} and the boundary "
+                    f"checkpoint save failed: {save_error!r}"
+                ) from save_error
             if boundary_epoch < 0:
                 raise TrainingPreempted(
                     f"preempted during epoch {during_epoch} before any epoch "
@@ -800,10 +849,14 @@ class AnomalyCLIPTrainModule:
             for batch_idx, batch in enumerate(train_loader):
                 if batch_idx >= steps_per_epoch:
                     break
-                if not multi_host:
-                    # per-step responsiveness on one host; multi-host checks
-                    # only at epoch boundaries (identical program points) so a
-                    # host never stops issuing collectives before its peers
+                # per-step responsiveness on one host; multi-host polls the
+                # flag allgather every K steps — every host reaches the same
+                # (epoch, batch_idx) program point (steps_per_epoch is the
+                # identical global loader length on all hosts), so the
+                # collective is deadlock-safe and a SIGTERM early in a long
+                # epoch checkpoints within K steps instead of burning the
+                # whole grace period reaching the epoch boundary
+                if not multi_host or batch_idx % preempt_poll_steps == 0:
                     _handle_preempt(epoch)
                 key, step_key = jax.random.split(key)
                 state, metric_sums = train_step(
@@ -840,8 +893,9 @@ class AnomalyCLIPTrainModule:
                     1 if fast_dev_run else trainer_cfg.get("limit_val_batches"),
                 )
                 # a SIGTERM mid-validation must not burn the grace period on
-                # scoring: bail between videos (eval has no cross-host
-                # collectives, so per-host early exit is safe even on pods);
+                # scoring: bail between videos. Multi-host, the stop decision
+                # is made global inside evaluate_videos before its gather
+                # collective, so a preempted host cannot strand its peers;
                 # _handle_preempt below then checkpoints the epoch boundary
                 last_val = self.validate(
                     state, epoch, limit=val_limit,
@@ -878,9 +932,9 @@ class AnomalyCLIPTrainModule:
 
             if (
                 not fast_dev_run
-                and is_host_zero()
                 and (epoch + 1) % self._ckpt_every_n_epochs == 0
             ):
+                # all hosts: the Orbax save is collective (checkpoint.py)
                 self.ckpt.save_epoch(
                     epoch,
                     {
@@ -914,8 +968,17 @@ class AnomalyCLIPTrainModule:
             self._scorer_cache = GridScorer(
                 self.model, encode_jit=self._encode_jit(), mesh=self._eval_mesh()
             )
+        trainable, bn_state = state.trainable, state.bn_state
+        if jax.process_count() > 1:
+            # evaluation runs per-host on LOCAL devices (videos are sharded
+            # across hosts); mid-fit the state is committed to the GLOBAL mesh,
+            # and a direct device_put onto the local eval mesh would be a
+            # cross-host transfer. The state is fully replicated, so a host
+            # numpy copy is addressable-local — re-placement is then local.
+            trainable = jax.tree_util.tree_map(np.asarray, trainable)
+            bn_state = BNState(np.asarray(bn_state.mean), np.asarray(bn_state.var))
         return self._scorer_cache.update(
-            self._text_frozen(), state.trainable, state.bn_state,
+            self._text_frozen(), trainable, bn_state,
             jnp.asarray(self.ncentroid),
         )
 
@@ -947,9 +1010,15 @@ class AnomalyCLIPTrainModule:
         videos) aborts with {} — the preemption path; no partial metrics are
         written or logged."""
         scorer = self._scorer(state)
+        # multi-host: every host scores its stride of the videos on its own
+        # chips and the outputs are allgathered back to global order — the
+        # reference evaluates rank-zero-only (anomaly_clip_module.py:458)
+        shard = (jax.process_index(), jax.process_count())
         outputs = evaluate_videos(
-            self.datamodule.val_dataloader(limit=limit), scorer, self.model,
+            self.datamodule.val_dataloader(limit=limit, shard=shard),
+            scorer, self.model,
             should_stop=should_stop,
+            gather_processes=jax.process_count() > 1,
         )
         if not outputs:
             return {}
@@ -1057,7 +1126,8 @@ class AnomalyCLIPTrainModule:
         trainer_cfg = self.cfg.get("trainer", ConfigNode())
         limit = limit if limit is not None else trainer_cfg.get("limit_test_batches")
         test_loader = self.datamodule.test_dataloader(
-            limit=_limit_count(len(self.datamodule.test_dataloader()), limit)
+            limit=_limit_count(len(self.datamodule.test_dataloader()), limit),
+            shard=(jax.process_index(), jax.process_count()),
         )
 
         on_video = None
@@ -1073,21 +1143,27 @@ class AnomalyCLIPTrainModule:
             on_video = viz.process_video
 
         scorer = self._scorer(state)
-        outputs = evaluate_videos(test_loader, scorer, self.model, on_video=on_video)
+        outputs = evaluate_videos(
+            test_loader, scorer, self.model, on_video=on_video,
+            gather_processes=jax.process_count() > 1,
+        )
 
-        metrics = {}
+        from anomalyclip_tpu.models.anomaly_clip import read_classnames
+
+        # every host computes the same metrics from the identical gathered
+        # arrays (sweeps/early-exit logic must agree across hosts); exactly one
+        # writes the metrics.json + plot artifacts
+        metrics = write_test_artifacts(
+            self.save_dir,
+            outputs["abnormal_scores"],
+            outputs["labels"],
+            outputs["class_probs"],
+            self.net_cfg.normal_id,
+            self.datamodule.num_classes,
+            read_classnames(self.datamodule.cfg.labels_file),
+            write_files=is_host_zero(),
+        )
         if is_host_zero():
-            from anomalyclip_tpu.models.anomaly_clip import read_classnames
-
-            metrics = write_test_artifacts(
-                self.save_dir,
-                outputs["abnormal_scores"],
-                outputs["labels"],
-                outputs["class_probs"],
-                self.net_cfg.normal_id,
-                self.datamodule.num_classes,
-                read_classnames(self.datamodule.cfg.labels_file),
-            )
             log.info(
                 f"test: AUC={metrics['auc_roc']:.4f} AP={metrics['auc_pr']:.4f} "
                 f"(artifacts in {self.save_dir})"

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from anomalyclip_tpu.data.dataset import SamplingConfig, VideoDataset
-from anomalyclip_tpu.data.loader import DualStreamTrainLoader
+from anomalyclip_tpu.data.loader import DualStreamTrainLoader, TrainBatch
 from anomalyclip_tpu.data.sampling import train_start_indices
 from anomalyclip_tpu.data.sampling import test_start_indices as covering_start_indices
 from anomalyclip_tpu.data.sources import FeatureSource
@@ -206,6 +206,90 @@ def test_dual_stream_loader_shapes_and_halving(synthetic_dirs):
     b1_again = list(loader)[0]
     np.testing.assert_array_equal(b1.abnormal_features, b1_again.abnormal_features)
     loader.close()
+
+
+def test_dual_stream_loader_rank_blocks_assemble_global_batch(synthetic_dirs):
+    """The per-rank ingest contract (multi-host fit): each rank's loader yields
+    exactly rows [p*half/P, (p+1)*half/P) of the single-process global batch,
+    BIT-IDENTICAL — concatenating the rank blocks reproduces the global arrays,
+    so make_array_from_process_local_data assembly (parallel/mesh.py
+    shard_train_batch) can never silently permute or corrupt shards."""
+    frames, annos = synthetic_dirs
+    sampling = SamplingConfig(num_segments=N, frames_per_segment=L, stride=STRIDE)
+
+    def make(path):
+        return VideoDataset(
+            annotation_file=str(annos / path),
+            root=str(frames),
+            normal_id=NORMAL_ID,
+            sampling=sampling,
+            source=FeatureSource(ncrops=1),
+        )
+
+    def loader_for(p, count):
+        return DualStreamTrainLoader(
+            normal=make("Anomaly_Train_Normal.txt"),
+            abnormal=make("Anomaly_Train_Abnormal.txt"),
+            batch_size=4,
+            seed=7,
+            num_workers=2,
+            process_index=p,
+            process_count=count,
+        )
+
+    for epoch in (0, 1):
+        g_loader = loader_for(0, 1)
+        g_loader.set_epoch(epoch)
+        rank_loaders = [loader_for(p, 2) for p in (0, 1)]
+        for rl in rank_loaders:
+            rl.set_epoch(epoch)
+        try:
+            for gb, b0, b1 in zip(g_loader, *rank_loaders):
+                for field in TrainBatch._fields:
+                    want = getattr(gb, field)
+                    got = np.concatenate(
+                        [getattr(b0, field), getattr(b1, field)], axis=0
+                    )
+                    np.testing.assert_array_equal(got, want, err_msg=field)
+                assert getattr(b0, "abnormal_features").shape[0] == 1  # half/P
+        finally:
+            g_loader.close()
+            for rl in rank_loaders:
+                rl.close()
+
+    with pytest.raises(ValueError):
+        loader_for(0, 3)  # half=2 does not divide over 3 ranks
+
+
+def test_sequential_test_loader_shard_strides(synthetic_dirs):
+    """Per-rank eval sharding: rank strides partition the (limited) video list
+    and global_indices() exposes the reassembly order."""
+    frames, annos = synthetic_dirs
+    sampling = SamplingConfig(num_segments=N, frames_per_segment=L, stride=STRIDE)
+    ds = VideoDataset(
+        annotation_file=str(annos / "Anomaly_Test.txt"),
+        root=str(frames),
+        normal_id=NORMAL_ID,
+        sampling=sampling,
+        source=FeatureSource(ncrops=1),
+        test_mode=True,
+        temporal_annotation_file=str(
+            annos / "Temporal_Anomaly_Annotation_for_Testing_Videos.txt"
+        ),
+    )
+    from anomalyclip_tpu.data.loader import SequentialTestLoader
+
+    full = SequentialTestLoader(ds)
+    n = len(full)
+    sharded = [SequentialTestLoader(ds, shard=(p, 2)) for p in (0, 1)]
+    assert sum(len(s) for s in sharded) == n
+    seen = sorted(
+        i for s in sharded for i in s.global_indices()
+    )
+    assert seen == list(range(n))
+    paths = [item.path for item in sharded[0]]
+    want = [ds.test_item(i).path for i in sharded[0].global_indices()]
+    assert paths == want
 
 
 def test_fast_decode_matches_pil_preprocessing(tmp_path):
