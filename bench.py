@@ -48,7 +48,14 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=0, help="0 = per-arch default")
     ap.add_argument("--quant", default="none", choices=["none", "int8"],
                     help="int8 = W8A8 serving tower (models/clip/quant.py)")
+    ap.add_argument("--e2e", action="store_true",
+                    help="end-to-end from-frames ingest: JPEG decode + "
+                         "preprocess + transfer + encode, sustained (the "
+                         "device-only carry-chain number excludes the host)")
     args = ap.parse_args()
+
+    if args.e2e:
+        return _bench_e2e_ingest()
 
     dev = jax.devices()[0]
     print(f"# benchmarking on {dev.platform}:{dev.device_kind}", file=sys.stderr)
@@ -139,6 +146,163 @@ def main() -> None:
                 # no defined baseline, so the ratio would be meaningless there
                 "vs_baseline": round(fps / BASELINE_FPS, 3)
                 if args.arch == "ViT-B/16" else None,
+            }
+        )
+    )
+
+
+def _bench_e2e_ingest() -> None:
+    """Sustained from-frames ingest through the production extract-features CLI.
+
+    The headline carry-chain bench deliberately excludes the host; this one
+    answers "can the host feed the chip": synthetic 224px JPEG corpus ->
+    extract_features.main (cv2 decode threads overlapped with device encode,
+    uint8 host->device transfer, on-device normalize) -> sustained frames/sec
+    measured over the whole run. Also reports the host decode+preprocess rate
+    alone, which bounds the pipeline on decode-starved hosts: e2e ~=
+    min(decode_rate, device_rate) once the two stages overlap. Decode scales
+    linearly with cores (per-core rate is printed), so the doc's
+    cores-to-saturate estimate is device_fps / per_core_decode_fps."""
+    import os
+    import tempfile
+    import time
+    from pathlib import Path
+
+    import jax  # noqa: F401 — fail early if no backend
+
+    from anomalyclip_tpu.data.synthetic import generate_synthetic_dataset
+    from anomalyclip_tpu.utils.extras import enable_compilation_cache
+
+    enable_compilation_cache()  # steady-state measurement, not compile time
+
+    root = Path(tempfile.gettempdir()) / "anomalyclip_e2e_bench"
+    froot, aroot = root / "frames", root / "annotations"
+    n_videos = 6
+    generate_synthetic_dataset(  # stamped: regeneration is skipped when cached
+        frames_root=froot,
+        annotations_root=aroot,
+        num_normal=n_videos,
+        num_abnormal=0,
+        num_test=0,
+        min_frames=900,
+        max_frames=1100,
+        make_frames=True,
+        frame_size=224,
+        seed=3,
+    )
+
+    from anomalyclip_tpu.data.records import parse_annotation_file
+
+    records = parse_annotation_file(aroot / "Anomaly_Train_Normal.txt", str(froot))
+    total_frames = sum(r.num_frames for r in records)
+
+    # host decode+preprocess alone (cv2 fast path, the production default for
+    # throughput runs) — the stage that bounds 1-core hosts
+    from concurrent.futures import ThreadPoolExecutor
+
+    from anomalyclip_tpu.data.sources import FrameSource
+
+    workers = max(os.cpu_count() or 1, 1)
+    src = FrameSource(input_size=224, fast_decode=True)
+    pool = ThreadPoolExecutor(max_workers=workers)
+    warm = records[0]
+    src.gather(warm, np.arange(min(64, warm.num_frames)), pool=pool)  # warm cache
+    t0 = time.perf_counter()
+    decoded = 0
+    for r in records:
+        src.gather(r, np.arange(r.num_frames), pool=pool)
+        decoded += r.num_frames
+    decode_fps = decoded / (time.perf_counter() - t0)
+    pool.shutdown()
+
+    # one warm 256-frame encode DISPATCH from a host array, uint8 vs float32:
+    # ships the chunk over the host->device link and encodes. On this harness
+    # the link is the remote-TPU tunnel, so the dispatch is link-bound (~30
+    # MB/s measured) — exactly where the uint8 ingest contract (FrameSource
+    # emits uint8, encoders normalize in-graph, 1/4 the bytes) pays off; on a
+    # real TPU-VM host the same 4x rides PCIe.
+    import jax
+    import jax.numpy as jnp
+
+    from anomalyclip_tpu.models.clip.model import (
+        CLIPConfig,
+        encode_image,
+        init_clip_params,
+    )
+
+    cfg = CLIPConfig.vit_b16()
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16),
+        init_clip_params(jax.random.PRNGKey(0), cfg),
+    )
+
+    @jax.jit
+    def enc(p, f):
+        return encode_image(p, cfg, f, compute_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    chunk_u8 = rng.integers(0, 256, size=(256, 224, 224, 3), dtype=np.uint8)
+    chunk_f32 = ((chunk_u8.astype(np.float32) / 255.0) - 0.45) / 0.27
+
+    def dispatch_fps(arr) -> float:
+        np.asarray(enc(params, arr))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t = time.perf_counter()
+            np.asarray(enc(params, arr))
+            best = min(best, time.perf_counter() - t)
+        return len(arr) / best
+
+    disp_u8 = dispatch_fps(chunk_u8)
+    disp_f32 = dispatch_fps(chunk_f32)
+
+    # end-to-end: the production CLI (decode pipelined with device encode).
+    # Run 1 warms the persistent compile cache; run 2 is the sustained number
+    # (a production job amortizes one compile over hours, not 6k frames).
+    from anomalyclip_tpu.extract_features import main as extract_main
+
+    out_root = root / "features_out"
+    import shutil
+
+    def run_extract() -> float:
+        shutil.rmtree(out_root, ignore_errors=True)
+        t0 = time.perf_counter()
+        rc = extract_main(
+            [
+                "--frames-root", str(froot),
+                "--out-root", str(out_root),
+                "--annotations", str(aroot / "Anomaly_Train_Normal.txt"),
+                "--clip-init", "random-full",
+                "--batch", "256",
+                "--workers", str(workers),
+                "--fast-decode",
+            ]
+        )
+        assert rc == 0
+        return total_frames / (time.perf_counter() - t0)
+
+    cold_fps = run_extract()
+    e2e_fps = run_extract()
+
+    print(
+        f"# e2e ingest: {e2e_fps:,.0f} fps sustained over {total_frames} frames "
+        f"(cold incl. compile: {cold_fps:,.0f}); host decode+preprocess alone: "
+        f"{decode_fps:,.0f} fps on {workers} core(s) "
+        f"({decode_fps / workers:,.0f} fps/core); warm 256-frame encode dispatch "
+        f"from host: uint8 {disp_u8:,.0f} fps vs float32 {disp_f32:,.0f} fps",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "vit_b16_e2e_ingest_throughput",
+                "value": round(e2e_fps, 1),
+                "unit": "frames/sec (decode+preprocess+transfer+encode)",
+                "vs_baseline": None,
+                "host_decode_fps": round(decode_fps, 1),
+                "decode_workers": workers,
+                "dispatch_fps_uint8": round(disp_u8, 1),
+                "dispatch_fps_float32": round(disp_f32, 1),
             }
         )
     )
