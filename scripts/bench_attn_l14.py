@@ -51,7 +51,13 @@ def _bench(fn, q, kv, iters: int) -> float:
 
     @jax.jit
     def step(q_, kv_, carry):
-        out = fn(q_ + carry.astype(q_.dtype) * 0, kv_)
+        # fold-proof cross-iteration dependency: splice the carry VALUE into one
+        # input element (a `carry * 0` term could legally be simplified away,
+        # leaving only device-queue serialization between iterations)
+        q_ = jax.lax.dynamic_update_slice(
+            q_, carry.astype(q_.dtype).reshape(1, 1, 1), (0, 0, 0)
+        )
+        out = fn(q_, kv_)
         return out[0, 0, 0].astype(jnp.float32)
 
     carry = jnp.zeros((), jnp.float32)
@@ -61,6 +67,15 @@ def _bench(fn, q, kv, iters: int) -> float:
         carry = step(q, kv, carry)
     float(carry)
     return (time.perf_counter() - t0) / iters * 1e3
+
+
+def _check_group(gb: int, name: str) -> int:
+    """Batch groups must divide B exactly: grid=(B // gb, ...) with a non-divisor
+    silently benchmarks only floor(B/gb)*gb rows and leaves the tail unwritten,
+    so the reported ms/layer would be for a smaller effective batch."""
+    if B % gb != 0:
+        raise SystemExit(f"{name}: batch group {gb} does not divide B={B}")
+    return gb
 
 
 def make_variant(name: str):
@@ -96,7 +111,7 @@ def make_variant(name: str):
         # fp32 row-state (max, sum, acc) carried across KV halves; KV block is
         # half-resident so the batch group can rise past the qtile kernel's 1.
         parts = name.split("-")
-        gb = int(parts[1][2:]) if len(parts) > 1 else 2
+        gb = _check_group(int(parts[1][2:]) if len(parts) > 1 else 2, name)
         lq = int(parts[2][2:]) if len(parts) > 2 else 128
         lkv = 296  # ceil(577/2) rounded to the 8-sublane grain; tail is padded
 
@@ -167,7 +182,7 @@ def make_variant(name: str):
         # whole-block kernel (no q tiling) with the VMEM gate bypassed — round-2
         # Mosaic hard-crashed at L>=512/D=1024; probe whether that still holds.
         parts = name.split("-")
-        gb = int(parts[1][2:]) if len(parts) > 1 else 1
+        gb = _check_group(int(parts[1][2:]) if len(parts) > 1 else 1, name)
 
         def run(q, kv):
             kern = functools.partial(
@@ -188,7 +203,7 @@ def make_variant(name: str):
         return run
 
     if name.startswith("qtilegb"):
-        gb = int(name[len("qtilegb"):])
+        gb = _check_group(int(name[len("qtilegb"):]), name)
         lq = 128
 
         def run(q, kv):
@@ -214,8 +229,10 @@ def make_variant(name: str):
         # because per-program VMEM only holds one pair. KV varies with the
         # pair index and stays resident across the innermost q-tile sweep.
         parts = name.split("-")
-        gb = int(parts[1][2:]) if len(parts) > 1 else 8
+        gb = _check_group(int(parts[1][2:]) if len(parts) > 1 else 8, name)
         lq = int(parts[2][2:]) if len(parts) > 2 else 128
+        if H % 2 != 0:
+            raise SystemExit(f"{name}: head-pair grid needs even H, got {H}")
 
         def kern(q_ref, k_ref, v_ref, o_ref):
             for h in range(2):
@@ -312,8 +329,11 @@ def tower_ablation(iters: int) -> None:
     def bench_tower(tag: str) -> float:
         @jax.jit
         def step(p, f, carry):
-            out = encode_image(p, cfg, f + carry.astype(jnp.bfloat16) * 0,
-                               compute_dtype=jnp.bfloat16)
+            # fold-proof dependency: splice the carry value into one pixel
+            f = jax.lax.dynamic_update_slice(
+                f, carry.astype(f.dtype).reshape(1, 1, 1, 1), (0, 0, 0, 0)
+            )
+            out = encode_image(p, cfg, f, compute_dtype=jnp.bfloat16)
             return out[0, 0].astype(jnp.float32)
 
         carry = jnp.zeros((), jnp.float32)
@@ -336,9 +356,12 @@ def tower_ablation(iters: int) -> None:
         bench_tower("tower(xla)")
 
     marginal = (real - ident) / cfg.vision_layers
-    # both attention matmuls contract/emit 64 wide vs the MXU's 128 lanes:
-    # <=50% fill is intrinsic to dh=64. 4 * L^2 * D MACs per layer.
-    dot_floor = 4 * L * L * D * 2 / (197e12 * 0.5) * 1e3
+    # Per-layer attention-dot floor at the measured batch: 2 matmuls (QK^T and
+    # PV) x 2 FLOPs/MAC x B x L^2 x D = 4*B*L^2*D FLOPs, over the MXU's bf16
+    # peak derated to 50% because both matmuls contract/emit dh=64 wide vs the
+    # 128-lane MXU (<=50% fill is intrinsic to dh=64). `real`/`ident` above are
+    # batch-32 wall times, so the floor must count batch-32 FLOPs too.
+    dot_floor = 4 * B * L * L * D / (197e12 * 0.5) * 1e3
     perfect = ident + cfg.vision_layers * dot_floor
     print(f"attention marginal: {marginal:0.3f} ms/layer "
           f"(dot floor {dot_floor:0.3f}); perfect-kernel ceiling "
