@@ -10,8 +10,9 @@ uint8 (TPU-native layout; the reference's NCHW is a torch convention). The
 [0,1]-scale + mean/std normalization happens ON DEVICE inside every encoder
 (models/clip/model.py:normalize_frames_on_device, identical fp32 arithmetic to
 ``normalize_frames`` below), so host RAM and host->device transfer carry 1/4
-the float32 bytes. The 10-crop path still emits normalized float32 (the group
-transform pipeline owns its normalization).
+the float32 bytes — on the 1-crop AND the 10-crop path alike (the group
+transform pipeline runs spatial-only for ingest, transforms.py:
+get_augmentations(normalize=False)).
 """
 
 from __future__ import annotations
@@ -140,7 +141,10 @@ class FrameSource:
         if ncrops != 1:
             from anomalyclip_tpu.data.transforms import get_augmentations
 
-            self._multicrop = get_augmentations(input_size, ncrops)
+            # spatial-only: crops stay uint8 and are normalized ON DEVICE like
+            # every other path (the 10-crop path ships 10x the frames per
+            # video, so the 4x byte saving matters most here)
+            self._multicrop = get_augmentations(input_size, ncrops, normalize=False)
         self.fast_decode = fast_decode
 
     def load_video(self, record: VideoRecord) -> VideoRecord:
@@ -187,7 +191,7 @@ class FrameSource:
         if self.ncrops == 1:
             return np.stack(list(run(lambda i: self._load_one(video, i), ids)))[None]
         clip = np.stack(list(run(lambda i: self._load_raw(video, i), ids)))
-        return self._multicrop(clip).astype(np.float32)
+        return self._multicrop(clip)  # uint8: normalization happens on device
 
 
 def count_frames(frames_dir: str | Path, image_tmpl: str = "{:06d}.jpg") -> int:

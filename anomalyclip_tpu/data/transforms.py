@@ -575,17 +575,30 @@ class LoopPad:
 # ---------------------------------------------------------------------------
 
 
-def get_augmentations(input_size: int = 224, ncrops: int = 1) -> Compose:
+def get_augmentations(
+    input_size: int = 224, ncrops: int = 1, normalize: bool = True
+) -> Compose:
     """The pipeline the reference actually runs (src/utils/augmentations.py:21-34):
     bicubic short-side scale -> center crop -> [0,1] -> CLIP-normalize. For
     ncrops=10 the center crop is replaced by GroupOverSample, producing
     (10, T, H, W, C) with crops ready to fold into the device batch axis (the
     extension the reference's pipeline never wires up despite accepting the
-    argument)."""
+    argument).
+
+    ``normalize=False`` drops the float conversion + normalization stages and
+    emits spatially-processed uint8 — the production ingest contract: every
+    encoder normalizes uint8 in-graph (models/clip/model.py:
+    normalize_frames_on_device) with the identical float32 arithmetic, so the
+    host holds and ships 1/4 the bytes. ``normalize_frames(pipeline_uint8)``
+    is bit-identical to the normalize=True output (pinned in
+    tests/test_transforms.py)."""
     if ncrops == 1:
         crop: Callable = GroupCenterCrop(input_size)
     elif ncrops == 10:
         crop = GroupOverSample(input_size)
     else:
         raise ValueError(f"ncrops must be 1 or 10, got {ncrops}")
-    return Compose([GroupScale(input_size), crop, GroupToFloat(), GroupNormalize()])
+    stages: List[Callable] = [GroupScale(input_size), crop]
+    if normalize:
+        stages += [GroupToFloat(), GroupNormalize()]
+    return Compose(stages)

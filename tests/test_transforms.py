@@ -312,6 +312,28 @@ def test_get_augmentations_ten_crop_shape():
         T.get_augmentations(64, ncrops=5)
 
 
+def test_spatial_only_ten_crop_is_bit_identical_after_normalize():
+    """The uint8 ingest contract for the 10-crop path: the spatial-only
+    pipeline (normalize=False) emits uint8 crops, and applying the shared
+    normalize arithmetic (sources.normalize_frames == the on-device
+    normalize_frames_on_device) reproduces the normalized float32 pipeline
+    BIT-identically — so 10-crop scores are unchanged while the host ships
+    1/4 the bytes."""
+    from anomalyclip_tpu.data.sources import normalize_frames
+
+    clip = make_clip(t=3, h=100, w=150)
+    u8 = T.get_augmentations(64, ncrops=10, normalize=False)(clip)
+    assert u8.dtype == np.uint8 and u8.shape == (10, 3, 64, 64, 3)
+    f32 = T.get_augmentations(64, ncrops=10)(clip)
+    np.testing.assert_array_equal(normalize_frames(u8), f32)
+    # and for the single-crop pipeline too (same contract)
+    u8_1 = T.get_augmentations(64, normalize=False)(clip)
+    assert u8_1.dtype == np.uint8
+    np.testing.assert_array_equal(
+        normalize_frames(u8_1), T.get_augmentations(64)(clip)
+    )
+
+
 def test_frame_source_ten_crop_gather(tmp_path):
     """FrameSource(ncrops=10) produces (10, T, s, s, 3); the center-normal crop
     (index 8 in GroupOverSample's offset-major order) equals the ncrops=1
@@ -338,13 +360,13 @@ def test_frame_source_ten_crop_gather(tmp_path):
     out1 = single.gather(rec, idx)
     assert out10.shape == (10, 3, 64, 64, 3)
     assert out1.shape == (1, 3, 64, 64, 3)
-    # ncrops=1 emits spatial uint8 (device normalizes in-graph); the group
-    # pipeline normalizes on host — bring the single-crop path to float here
-    assert out1.dtype == np.uint8 and out10.dtype == np.float32
-    from anomalyclip_tpu.data.sources import normalize_frames
-
-    # 150x100 -> scale short side 64 -> 96x64; margin 32 % 4 == 0
-    np.testing.assert_allclose(out10[8], normalize_frames(out1[0]), atol=1e-5)
+    # BOTH paths emit spatial uint8 (the device normalizes in-graph): the
+    # 10-crop path ships 10x the frames per video, so it is exactly where the
+    # 4x byte saving matters most
+    assert out1.dtype == np.uint8 and out10.dtype == np.uint8
+    # 150x100 -> scale short side 64 -> 96x64; margin 32 % 4 == 0, so the
+    # center-normal crop coincides with the torchvision center crop exactly
+    np.testing.assert_array_equal(out10[8], out1[0])
     with pytest.raises(ValueError):
         FrameSource(input_size=64, ncrops=5)
 
