@@ -378,6 +378,13 @@ def evaluate_videos(
     }
 
 
+# frames contributed per host per gather round: the collective payload is
+# P x GATHER_CHUNK_FRAMES x (C+2) float32 regardless of how long or how skewed
+# the shards are (XD-Violence-length outliers no longer size the buffer).
+# ~16k frames x 8 cols x 4 B = 0.5 MB/host/round. Overridable via env for tests.
+GATHER_CHUNK_FRAMES = 16384
+
+
 def _gather_process_outputs(
     per_video: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
     indices: List[int],
@@ -388,12 +395,20 @@ def _gather_process_outputs(
 
     ``process_allgather`` needs identical shapes on every host, and hosts own
     different video counts/lengths, so the protocol is: (1) allgather the stop
-    flag + local sizes, (2) pad the flat local packs to the global maxima,
-    (3) allgather, (4) slice each host's videos back out by its (index, length)
-    table and reassemble in index order. Labels ride as float64 in the packed
-    buffers (frame labels are small ints: exact) and come back as int64."""
+    flag + local sizes, (2) pack each host's outputs into one flat
+    (frames, C+2) float32 buffer [score | label | class_probs], (3) allgather
+    that pack in FIXED-SIZE rounds of GATHER_CHUNK_FRAMES rows (hosts past
+    their own end contribute zero padding), (4) slice each host's videos back
+    out by its (index, length) table and reassemble in index order. Bounding
+    the per-round payload keeps peak gather memory independent of the longest
+    shard — with padded-to-max gathers a single hour-long XD-Violence video on
+    one host would size every host's buffer. Labels are small class ids
+    (exact in float32) and come back as int64."""
+    import os
+
     from jax.experimental import multihost_utils as mh
 
+    chunk = int(os.environ.get("ANOMALYCLIP_GATHER_CHUNK", GATHER_CHUNK_FRAMES))
     n_local = len(per_video)
     local_frames = int(sum(len(v[0]) for v in per_video))
     local_c = int(per_video[0][2].shape[1]) if per_video else 0
@@ -407,36 +422,49 @@ def _gather_process_outputs(
     max_videos = int(meta[:, 1].max())
     max_frames = int(meta[:, 2].max())
     num_c = int(meta[:, 3].max())
+    cols = num_c + 2
 
     idx_tab = np.full((max_videos, 2), -1, np.int64)  # (global index, length)
-    scores_p = np.zeros((max_frames,), np.float32)
-    labels_p = np.zeros((max_frames,), np.float64)
-    probs_p = np.zeros((max_frames, num_c), np.float32)
+    pack = np.zeros((local_frames, cols), np.float32)
     off = 0
     for k, (sc, lab, pr) in enumerate(per_video):
         idx_tab[k] = (indices[k], len(sc))
-        scores_p[off : off + len(sc)] = sc
-        labels_p[off : off + len(sc)] = lab
-        probs_p[off : off + len(sc)] = pr
+        pack[off : off + len(sc), 0] = sc
+        pack[off : off + len(sc), 1] = lab
+        pack[off : off + len(sc), 2:] = pr
         off += len(sc)
 
-    g_idx = mh.process_allgather(idx_tab)  # (P, max_videos, 2)
-    g_scores = mh.process_allgather(scores_p)  # (P, max_frames)
-    g_labels = mh.process_allgather(labels_p)
-    g_probs = mh.process_allgather(probs_p)  # (P, max_frames, C)
+    g_idx = mh.process_allgather(idx_tab)  # (P, max_videos, 2) — small
+    num_p = g_idx.shape[0]
+    frames_per_host = meta[:, 2]
+    host_packs = [
+        np.empty((int(f), cols), np.float32) for f in frames_per_host
+    ]
+    for lo in range(0, max_frames, chunk):
+        part = pack[lo : lo + chunk]
+        if len(part) < chunk:
+            part = np.concatenate(
+                [part, np.zeros((chunk - len(part), cols), np.float32)]
+            )
+        g = mh.process_allgather(part)  # (P, chunk, cols) — bounded payload
+        for p in range(num_p):
+            valid = int(min(max(int(frames_per_host[p]) - lo, 0), chunk))
+            if valid:
+                host_packs[p][lo : lo + valid] = g[p, :valid]
 
-    by_index: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-    for p in range(g_idx.shape[0]):
+    by_index: Dict[int, np.ndarray] = {}
+    for p in range(num_p):
         off = 0
         for gi, length in g_idx[p]:
             if gi < 0:
                 break
-            sl = slice(off, off + int(length))
-            by_index[int(gi)] = (g_scores[p][sl], g_labels[p][sl], g_probs[p][sl])
+            by_index[int(gi)] = host_packs[p][off : off + int(length)]
             off += int(length)
     order = sorted(by_index)
     return {
-        "abnormal_scores": np.concatenate([by_index[i][0] for i in order]),
-        "labels": np.concatenate([by_index[i][1] for i in order]).astype(np.int64),
-        "class_probs": np.concatenate([by_index[i][2] for i in order]),
+        "abnormal_scores": np.concatenate([by_index[i][:, 0] for i in order]),
+        "labels": np.concatenate(
+            [by_index[i][:, 1] for i in order]
+        ).astype(np.int64),
+        "class_probs": np.concatenate([by_index[i][:, 2:] for i in order]),
     }

@@ -227,3 +227,90 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     assert losses[0] == pytest.approx(losses[1], abs=1e-6)
     # dryrun prints loss with 4 decimals; compare at that precision
     assert losses[0] == pytest.approx(single_loss, abs=6e-5), (losses, single_loss)
+
+
+_GATHER_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    sys.path.insert(0, os.environ["REPO_ROOT"])
+    from anomalyclip_tpu.parallel.mesh import maybe_initialize_distributed
+    assert maybe_initialize_distributed()
+    import jax
+    import numpy as np
+    from anomalyclip_tpu.eval.evaluator import _gather_process_outputs
+
+    pid = jax.process_index()
+
+    # deliberately skewed global corpus: one host owns a single short video,
+    # the other owns several long ones (the XD-Violence shape). Lengths are
+    # NOT multiples of the 64-frame gather chunk, so round tails are padded.
+    lengths = [37, 411, 96, 250, 133]
+    C = 3
+    def video(i):
+        rng = np.random.default_rng(1000 + i)
+        t = lengths[i]
+        return (
+            rng.random(t, dtype=np.float32),
+            rng.integers(0, 5, size=t).astype(np.float32),
+            rng.random((t, C), dtype=np.float32),
+        )
+
+    mine = list(range(pid, len(lengths), 2))  # stride shard (loader contract)
+    per_video = [video(i) for i in mine]
+    got = _gather_process_outputs(per_video, mine, stopped=False)
+
+    allv = [video(i) for i in range(len(lengths))]
+    want_scores = np.concatenate([v[0] for v in allv])
+    want_labels = np.concatenate([v[1] for v in allv]).astype(np.int64)
+    want_probs = np.concatenate([v[2] for v in allv])
+    np.testing.assert_array_equal(got["abnormal_scores"], want_scores)
+    np.testing.assert_array_equal(got["labels"], want_labels)
+    np.testing.assert_array_equal(got["class_probs"], want_probs)
+
+    # the preempted path must also clear the chunked protocol symmetrically
+    got_stop = _gather_process_outputs(per_video, mine, stopped=(pid == 1))
+    assert got_stop == {}
+    print(f"proc {pid}: gather ok ({sum(lengths)} frames, chunk=64)", flush=True)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_skewed_shard_gather(tmp_path):
+    """The chunked eval gather across 2 real processes with deliberately skewed
+    shard sizes: outputs are bit-identical to the global concatenation on BOTH
+    hosts, while every collective round carries a fixed 64-frame payload per
+    host (ANOMALYCLIP_GATHER_CHUNK) — peak gather memory is independent of the
+    longest shard."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.pop("XLA_FLAGS", None)
+        env.update(
+            REPO_ROOT=repo_root,
+            JAX_PLATFORMS="cpu",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            ANOMALYCLIP_GATHER_CHUNK="64",  # force many rounds + padded tails
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _GATHER_WORKER],
+                env=env, cwd=repo_root,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    try:
+        outs = [p.communicate(timeout=300) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{err[-2000:]}"
+        assert f"proc {pid}: gather ok" in out, out
