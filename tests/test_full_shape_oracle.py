@@ -373,3 +373,92 @@ def test_from_frames_fused_kernels_on_tpu_match(fs, frames_case):
     np.testing.assert_allclose(
         got["scores"], frames_case["ref_scores"], rtol=2e-4, atol=2e-4
     )
+
+
+def test_production_composition_32x16_b16_concat(tmp_path_factory):
+    """The exact ShanghaiTech production tuple composed in ONE assertion:
+    32x16 grid x real ViT-B/16 CLIP x concat_features=True, features path,
+    single test-mode forward over one short video (segment_size=1) vs the
+    torch composite (reference: anomaly_clip.py:107-154 under
+    configs/model/anomaly_clip_shanghaitech.yaml). Removes the one remaining
+    compositional caveat: the module fixture above shrinks the grid to 8x4,
+    and the tiny oracle pins 32x16 only at tiny CLIP shape."""
+    import dataclasses as dc
+
+    from anomalyclip_tpu.convert_ckpt import (
+        convert_lightning_checkpoint,
+        converted_clip_config,
+        load_lightning_state_dict,
+    )
+    from anomalyclip_tpu.models.anomaly_clip import AnomalyCLIP
+    from anomalyclip_tpu.models.selector import BNState
+    from anomalyclip_tpu.train.module import _net_config
+
+    tmp_path = tmp_path_factory.mktemp("production_tuple")
+    cfg = synthetic_cfg(
+        tmp_path,
+        "model.net.clip_init=random-full",  # real ViT-B/16 shapes
+        # grid stays at the production 32x16 default; concat_features is True
+        # in the synthetic model config (the ShanghaiTech setting)
+    )
+    assert int(cfg.model.net.num_segments) == 32
+    assert int(cfg.model.net.seg_length) == 16
+    assert bool(cfg.model.net.concat_features) is True
+
+    net_cfg = {
+        k: v
+        for k, v in dict(cfg.model.net).items()
+        if k not in ("clip_init", "clip_ckpt_path", "compute_dtype", "quantize")
+    }
+    net = fo.build_reference_net(
+        net_cfg, clip_seed=7, clip_args=fo.VIT_B16_CLIP_ARGS
+    )
+    g = torch.Generator().manual_seed(17)
+    bn = net.selector_model.bn_layer
+    bn.running_mean.copy_(0.3 * torch.randn(bn.running_mean.shape, generator=g))
+    bn.running_var.copy_(0.5 + torch.rand(bn.running_var.shape, generator=g))
+
+    ckpt = fo.lightning_checkpoint_from_net(net, tmp_path / "prod_tuple.ckpt")
+    sd = load_lightning_state_dict(str(ckpt))
+    frozen, trainable, bn_np = convert_lightning_checkpoint(sd)
+    clip_cfg = converted_clip_config(sd)
+    assert clip_cfg.embed_dim == 512 and clip_cfg.vision_width == 768
+    model_cfg = dc.replace(
+        _net_config(dict(cfg.model.net)), compute_dtype="float32"
+    )
+    model, _ = AnomalyCLIP.build(model_cfg, frozen["clip"], clip_cfg)
+    assert model.cfg.num_segments == 32 and model.cfg.seg_length == 16
+    assert model.cfg.concat_features
+
+    segment_size = 1
+    t = 32 * segment_size * 16  # one short video: 512 sampled frames
+    rng = np.random.default_rng(47)
+    feats = rng.standard_normal((1, t, 512)).astype(np.float32)
+    nc = rng.standard_normal(512).astype(np.float32) * 0.1
+
+    with torch.no_grad():
+        # the reference features test path carries an explicit ncrops axis
+        # (feature_dataset.py:369-371): (b, ncrops, t, d)
+        ref_sim, ref_scores = net(
+            torch.from_numpy(feats[:, None]),
+            torch.zeros(t, dtype=torch.long),  # labels: unused in test mode
+            torch.from_numpy(nc),
+            segment_size,
+            test_mode=True,
+        )
+
+    to_dev = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)  # noqa: E731
+    sim, scores = model.forward_test(
+        to_dev(frozen),
+        to_dev(trainable),
+        BNState(jnp.asarray(bn_np.mean), jnp.asarray(bn_np.var)),
+        jnp.asarray(feats),
+        jnp.asarray(nc),
+        segment_size,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sim), ref_sim.numpy(), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), ref_scores.numpy(), rtol=1e-4, atol=1e-4
+    )
