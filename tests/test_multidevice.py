@@ -29,11 +29,18 @@ def _graft_entry():
     return mod
 
 
+@pytest.fixture(scope="module")
+def tiny_build():
+    """One tiny model build shared by the in-process tests (the subprocess
+    dryrun builds its own): model, frozen, trainable, bn_state."""
+    return _graft_entry()._build_tiny()
+
+
 def test_dryrun_multichip_8():
     _graft_entry().dryrun_multichip(8)
 
 
-def test_sharded_step_matches_single_device():
+def test_sharded_step_matches_single_device(tiny_build):
     """Same batch, 1-device vs 8-device mesh: loss and updated BN stats agree."""
     from jax.sharding import NamedSharding, PartitionSpec
 
@@ -41,8 +48,7 @@ def test_sharded_step_matches_single_device():
     from anomalyclip_tpu.models.losses import LossConfig, compute_loss
     from anomalyclip_tpu.parallel.mesh import data_mesh
 
-    ge = _graft_entry()
-    model, frozen, trainable, bn_state = ge._build_tiny()
+    model, frozen, trainable, bn_state = tiny_build
     n, l, d = 8, 4, model.embedding_dim
     half = 8
     loss_cfg = LossConfig(normal_id=2, num_topk=2, frames_per_segment=l, num_segments=n)
@@ -87,15 +93,14 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(bn1.var), np.asarray(bn8.var), rtol=2e-5, atol=1e-6)
 
 
-def test_dp_grid_scorer_matches_single_device():
+def test_dp_grid_scorer_matches_single_device(tiny_build):
     """The production DP-eval path: GridScorer(mesh=8-device) must reproduce
     the single-device scorer exactly — validation on a pod shards grids over
     all chips through the SAME executable (evaluator.py GridScorer.mesh)."""
     from anomalyclip_tpu.eval.evaluator import GridScorer
     from anomalyclip_tpu.parallel.mesh import data_mesh
 
-    ge = _graft_entry()
-    model, frozen, trainable, bn_state = ge._build_tiny()
+    model, frozen, trainable, bn_state = tiny_build
     rng = np.random.default_rng(1)
     nc = rng.standard_normal(model.embedding_dim).astype(np.float32)
 
