@@ -266,9 +266,11 @@ fused_mha_qkv.defvjp(_mha_qkv_fwd, _mha_qkv_bwd)
 # resident in VMEM across those steps. Each program computes complete softmax
 # rows (no rescaling passes), and the KV block is fetched from HBM once per
 # batch group — the (B, H, L, L) score tensor still never exists in HBM.
-# Measured at ViT-L/14@336 shape (B=32, L=577, D=1024, bf16) on v5e: 2.8 ms vs
-# 4.4 ms for the XLA formulation per layer (carry-chained; softmax + both
-# matmuls), and it lifts the whole tower off the XLA fallback path.
+# Measured at ViT-L/14@336 shape (B=32, L=577, D=1024, bf16, carry-chained) on
+# v5e: 1.72-1.79 ms/layer at the tuned config (gb=4, balanced lq=120, raised
+# VMEM limit) vs 3.3-3.4 for the XLA formulation — and within ~6% of a
+# no-softmax dot+DMA ablation of the same kernel in the same run (1.79 vs
+# 1.69), so nearly all remaining time is the memory/matmul floor itself.
 #
 # The caller supplies q and the packed k|v as *separate* arrays (two GEMMs of
 # the same fused weight — same FLOPs) because one packed q|k|v input cannot be
@@ -285,22 +287,42 @@ def _mha_qtile_kernel(q_ref, kv_ref, o_ref, *, num_heads: int, scale: float):
         o_ref[:, :, h * dh : (h + 1) * dh] = _attend_head(q, k, v, scale, None, o_ref.dtype)
 
 
-_QTILE_LQ = 128  # empirically the best/fittest q-tile at L=577 (lq=256 OOMs)
+def _qtile_lq(l: int) -> int:
+    """Balanced q-tile: the smallest sublane-aligned tile that covers ``l`` in
+    ceil(l/128) grid steps, capped at 128. A fixed lq=128 pads L=577's 5-tile
+    sweep to 640 rows (11% wasted q work, 577 being prime); the balanced tile
+    is 120, padding only to 600 (4%). Measured at the ViT-L/14@336 shape
+    (B=32, bf16, carry-chained, 40 iters): 1.72 ms/layer vs 1.82 at lq=128."""
+    steps = -(-l // 128)
+    return min(128, (-(-l // steps) + 7) // 8 * 8)
+
+
+# Per-kernel scoped-VMEM cap for the q-tiled kernel. XLA's default scoped limit
+# is 16MB, but v5e VMEM is 128MB and a pallas_call may raise its own cap
+# (CompilerParams.vmem_limit_bytes) — JAX's reference TPU attention kernels do
+# the same. 64MB leaves half the physical VMEM for XLA's surrounding fusions
+# and covers the budget below at Mosaic's measured ~1.75x actual/estimate
+# margin (gb=2 at the L/14@336 shape estimates 11.0MB and Mosaic allocates
+# 19.3MB when composed inside the full tower).
+_QTILE_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _qtile_gb(b: int, l: int, d: int, itemsize: int) -> int:
     """Batch group for the q-tiled kernel. Working set per program: the resident
     (gb, L, 2D) k|v block plus (gb, lq, D) q/out blocks (each double-buffered)
-    and the fp32 (gb, lq, L) score/exp scratch for one head. The 6MB estimated
-    budget carries the measured ~1.6x scoped-VMEM margin (same calibration as
-    _pick_g): at ViT-L/14@336 shape gb=1 compiles and gb=2 hard-crashes Mosaic,
-    matching this bound."""
-    budget = 6 * 1024 * 1024
+    and the fp32 (gb, lq, L) score/exp scratch for one head. The 24MB estimated
+    budget is hardware-calibrated at the ViT-L/14@336 shape under the raised
+    _QTILE_VMEM_LIMIT: gb=4 (est. 22MB) compiles, validates, and runs 1.72
+    ms/layer vs 1.82 at gb=2 and 2.01 at gb=1 — fewer, larger programs amortize
+    the resident-KV DMA — while gb=8 (est. 44MB, ~77MB actual at Mosaic's
+    ~1.75x margin) hard-crashes the Mosaic compile and is correctly excluded."""
+    budget = 24 * 1024 * 1024
+    lq = _qtile_lq(l)
     for g in (8, 4, 2, 1):
         if b % g:
             continue
-        blocks = 2 * g * (_QTILE_LQ * d + l * 2 * d) * itemsize
-        scratch = 2 * g * _QTILE_LQ * l * 4
+        blocks = 2 * g * (lq * d + l * 2 * d) * itemsize
+        scratch = 2 * g * lq * l * 4
         if blocks + scratch <= budget:
             return g
     return 0
@@ -318,6 +340,7 @@ def _mha_qtile_impl(q, kv, num_heads: int, interpret: bool):
     b, l, d = q.shape
     dh = d // num_heads
     gb = _qtile_gb(b, l, d, q.dtype.itemsize)
+    lq = _qtile_lq(l)
     if interpret and gb == 0:
         gb = 1  # interpret mode executes on CPU: no VMEM constraint to honor
     assert gb > 0, f"shape (B={b}, L={l}, D={d}) does not fit the q-tiled kernel"
@@ -326,17 +349,22 @@ def _mha_qtile_impl(q, kv, num_heads: int, interpret: bool):
     )
     return pl.pallas_call(
         kern,
-        grid=(b // gb, pl.cdiv(l, _QTILE_LQ)),
+        grid=(b // gb, pl.cdiv(l, lq)),
         in_specs=[
-            pl.BlockSpec((gb, _QTILE_LQ, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, lq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             # index_map constant in j: the K|V block stays resident across q tiles
             pl.BlockSpec((gb, l, 2 * d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (gb, _QTILE_LQ, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (gb, lq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, l, d), q.dtype),
         interpret=interpret,
+        # raise the scoped-VMEM cap past XLA's 16MB default (see _QTILE_VMEM_LIMIT);
+        # interpret mode executes on CPU where TPU compiler params don't apply
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=_QTILE_VMEM_LIMIT),
     )(q, kv)
 
 
@@ -370,7 +398,7 @@ fused_mha_qtile.defvjp(_mha_qtile_fwd, _mha_qtile_bwd)
 # Flash attention (KV-blocked, online softmax) — unbounded sequence length
 # ---------------------------------------------------------------------------
 #
-# Above the q-tiled kernel's resident-KV envelope (L ≳ 700 at D=1024) the KV
+# Above the q-tiled kernel's resident-KV envelope (L ≳ 2700 at D=1024) the KV
 # block itself no longer fits VMEM, so both block dimensions must tile: the
 # classic flash decomposition with a running (max, sum, accumulator) triple
 # updated per KV block. Per-head layout (BH, L, dh) — at these lengths the

@@ -86,6 +86,10 @@ def make_variant(name: str):
 
     from anomalyclip_tpu.ops.pallas import attention as A
 
+    # every ad-hoc variant gets the same raised scoped-VMEM cap the shipped
+    # kernel runs under, so timings compare apples-to-apples
+    CP = pltpu.CompilerParams(vmem_limit_bytes=A._QTILE_VMEM_LIMIT)
+
     if name == "qtile":
         return lambda q, kv: A.fused_mha_qtile(q, kv, H)
 
@@ -103,6 +107,7 @@ def make_variant(name: str):
                 ],
                 out_specs=pl.BlockSpec((1, lq, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((B, L, D), q.dtype),
+                compiler_params=CP,
             )(q, kv)
 
         return run
@@ -169,6 +174,7 @@ def make_variant(name: str):
                 ],
                 out_specs=pl.BlockSpec((gb, lq, D), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((B, L, D), q.dtype),
+                compiler_params=CP,
                 scratch_shapes=[
                     pltpu.VMEM((gb, lq, D), jnp.float32),
                     pltpu.VMEM((gb, lq, 128), jnp.float32),
@@ -198,13 +204,15 @@ def make_variant(name: str):
                 ],
                 out_specs=pl.BlockSpec((gb, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((B, L, D), q.dtype),
+                compiler_params=CP,
             )(q, kv[..., :D], kv[..., D:])
 
         return run
 
     if name.startswith("qtilegb"):
-        gb = _check_group(int(name[len("qtilegb"):]), name)
-        lq = 128
+        parts = name.split("-")
+        gb = _check_group(int(parts[0][len("qtilegb"):]), name)
+        lq = int(parts[1][2:]) if len(parts) > 1 else 128
 
         def run(q, kv):
             kern = functools.partial(A._mha_qtile_kernel, num_heads=H, scale=SCALE)
@@ -217,6 +225,7 @@ def make_variant(name: str):
                 ],
                 out_specs=pl.BlockSpec((gb, lq, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((B, L, D), q.dtype),
+                compiler_params=CP,
             )(q, kv)
 
         return run
@@ -254,11 +263,20 @@ def make_variant(name: str):
                 ],
                 out_specs=pl.BlockSpec((gb, lq, 128), lambda i, h, j: (i, j, h), memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((B, L, D), q.dtype),
+                compiler_params=CP,
             )(q, k, v)
 
         return run
 
-    if name == "nosoftmax":
+    if name.startswith("nosoftmax"):
+        parts = name.split("-")
+        gb = (
+            _check_group(int(parts[0][len("nosoftmaxgb"):]), name)
+            if parts[0] != "nosoftmax"
+            else 1
+        )
+        lq_override = int(parts[1][2:]) if len(parts) > 1 else None
+
         def kern(q_ref, kv_ref, o_ref):
             for h in range(H):
                 q = q_ref[:, :, h * DH : (h + 1) * DH]
@@ -273,18 +291,19 @@ def make_variant(name: str):
                     preferred_element_type=jnp.float32,
                 ).astype(o_ref.dtype)
 
-        lq = 128
+        lq = lq_override or 128
 
         def run(q, kv):
             return pl.pallas_call(
                 kern,
-                grid=(B, pl.cdiv(L, lq)),
+                grid=(B // gb, pl.cdiv(L, lq)),
                 in_specs=[
-                    pl.BlockSpec((1, lq, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, L, 2 * D), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((gb, lq, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((gb, L, 2 * D), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((1, lq, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                out_specs=pl.BlockSpec((gb, lq, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((B, L, D), q.dtype),
+                compiler_params=CP,
             )(q, kv)
 
         return run

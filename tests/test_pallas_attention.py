@@ -229,7 +229,12 @@ def test_qtile_eligibility_covers_the_long_tail():
 
     assert mha_qtile_eligible(32, 577, 1024, 16, 2)  # ViT-L/14@336 bf16
     assert mha_qtile_eligible(32, 1024, 512, 8, 2)  # longer L at smaller width
-    assert not mha_qtile_eligible(32, 1024, 1024, 16, 2)  # resident KV > budget
+    # L=1024 and L=1536 at D=1024 fit the 24MB budget — hardware-validated
+    # (compile, match XLA to bf16 rounding, and beat the flash kernel there:
+    # 3.12 vs 6.32 ms at L=1024 on v5e)
+    assert mha_qtile_eligible(32, 1024, 1024, 16, 2)
+    assert mha_qtile_eligible(32, 1536, 1024, 16, 2)
+    assert not mha_qtile_eligible(32, 3072, 1024, 16, 2)  # resident KV > budget
     assert not mha_qtile_eligible(32, 577, 1000, 16, 2)  # heads don't divide D
 
 
