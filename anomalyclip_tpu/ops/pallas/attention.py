@@ -104,8 +104,48 @@ def _pick_group(n: int, l: int, d: int, itemsize: int, budget: int) -> int:
 
 
 def _pick_gb(b: int, l: int, d: int, itemsize: int) -> int:
-    """Batch-block for the (B, L, D) kernels, ~12MB estimated budget."""
-    return _pick_group(b, l, d, itemsize, 12 * 1024 * 1024)
+    """Batch-block for the (B, L, D) kernels — L-gated estimated budget.
+
+    Hardware-calibrated on v5e (round 4): the working-set estimate overshoots
+    Mosaic's actual allocation at moderate L, so configs estimating up to
+    ~19MB compile fine under the default 16MB scoped-VMEM limit — at the
+    ViT-L/14 shape (B=64, L=257, D=1024) gb=4 (est. 18.9MB) compiles and runs
+    1.45-1.61 ms/layer vs 2.34 at the old 12MB budget's gb=2, a ~35% per-layer
+    cut. But the relationship inverts at long L: the envelope shape
+    (B=32, L=448, D=1024) at gb=2 estimates 17.9MB and HARD-CRASHES the
+    Mosaic compile (same failure class as the L=512 cap in mha_eligible), so
+    the raised budget applies only up to L=288 — above the largest validated
+    winner (L=257) and far below the first measured failure (L=448), where
+    the original 12MB budget's selections are all hardware-proven. The
+    ViT-B/16 shape keeps selecting gb=4 under either budget (its measured
+    optimum: gb=8 needs a raised VMEM cap and is 29% slower; a raised cap
+    even at gb=4 costs 16% — so unlike the q-tiled kernel these whole-block
+    kernels never raise vmem_limit_bytes). Per-shape validation:
+    scripts/validate_pickgb.py."""
+    budget = 19 * 1024 * 1024 if l <= 288 else 12 * 1024 * 1024
+    return _pick_group(b, l, d, itemsize, budget)
+
+
+def _whole_block_params(gb: int, l: int, d: int, itemsize: int, interpret: bool):
+    """CompilerParams for the whole-block kernels at a chosen batch group.
+
+    Selections whose estimated working set exceeds the original 12MB budget
+    (i.e. the ones the raised 19MB budget newly admits, like ViT-L/14's gb=4)
+    compile standalone under the default 16MB scoped-VMEM limit but OOM when
+    composed inside the full encoder — Mosaic's stack allocation for the same
+    pallas_call grows to 22.25M inside jit(encode) (measured r4, identical to
+    the q-tiled kernel's 11.0MB-estimate/19.3MB-composed behavior). Those
+    selections ship with the raised 64MB cap. Selections within the 12MB
+    budget keep the default cap: hardware-measured at the ViT-B/16 shape,
+    raising the cap there costs 16% (2.17 -> 2.51 ms/layer) while at the
+    ViT-L/14 shape it costs nothing (1.446 vs 1.450) — so the cap is raised
+    only where it is needed to compile."""
+    if interpret:
+        return None  # CPU interpret mode: TPU compiler params don't apply
+    est = 4 * gb * l * d * itemsize * 2 + 2 * gb * l * l * 4
+    if est > 12 * 1024 * 1024:
+        return pltpu.CompilerParams(vmem_limit_bytes=_QTILE_VMEM_LIMIT)
+    return None
 
 
 def mha_eligible(b: int, l: int, d: int, num_heads: int, itemsize: int) -> bool:
@@ -138,6 +178,7 @@ def _mha_bld_impl(q, k, v, num_heads: int, causal: bool, interpret: bool):
         out_specs=pl.BlockSpec((gb, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, l, d), q.dtype),
         interpret=interpret,
+        compiler_params=_whole_block_params(gb, l, d, q.dtype.itemsize, interpret),
     )(q, k, v)
 
 
@@ -222,6 +263,7 @@ def _mha_qkv_impl(qkv, num_heads: int, causal: bool, interpret: bool):
         out_specs=pl.BlockSpec((gb, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, l, d), qkv.dtype),
         interpret=interpret,
+        compiler_params=_whole_block_params(gb, l, d, qkv.dtype.itemsize, interpret),
     )(qkv)
 
 

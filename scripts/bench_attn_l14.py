@@ -314,20 +314,27 @@ def make_variant(name: str):
     raise SystemExit(f"unknown variant {name}")
 
 
-def tower_ablation(iters: int) -> None:
-    """Whole-tower encode at ViT-L/14@336 (batch 32, bf16, carry-chained) under
-    three attention configurations — the identity-attention method behind
+def tower_ablation(iters: int, arch: str = "l14@336") -> None:
+    """Whole-tower encode (bf16, carry-chained) under three attention
+    configurations — the identity-attention method behind
     docs/performance.md's measured-ceiling argument: replacing the attention
     core with `out = v` (both projections kept) measures the non-attention
     floor directly, so `real - identity` is the kernel's true in-tower marginal
-    cost and `identity + 24 * dot_floor` is the perfect-kernel ceiling."""
+    cost and `identity + layers * dot_floor` is the perfect-kernel ceiling.
+    ``--arch l14`` runs the plain ViT-L/14 tower (batch 64, 224px, whole-block
+    kernel) instead of the default L/14@336 (batch 32, q-tiled kernel)."""
     import jax
     import jax.numpy as jnp
 
     from anomalyclip_tpu.models.clip import model as clip_model
     from anomalyclip_tpu.models.clip.model import CLIPConfig, encode_image, init_clip_params
 
-    cfg = CLIPConfig.vit_l14_336()
+    if arch == "l14":
+        cfg, batch, img = CLIPConfig.vit_l14(), 64, 224
+    else:
+        cfg, batch, img = CLIPConfig.vit_l14_336(), 32, 336
+    seq = (img // cfg.vision_patch_size) ** 2 + 1
+    width = cfg.vision_width
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree_util.tree_map(
         lambda x: jnp.asarray(x, jnp.bfloat16)
@@ -336,7 +343,7 @@ def tower_ablation(iters: int) -> None:
         params,
     )
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.standard_normal((32, 336, 336, 3)), jnp.bfloat16)
+    frames = jnp.asarray(rng.standard_normal((batch, img, img, 3)), jnp.bfloat16)
 
     real_mha = clip_model.multi_head_attention
 
@@ -362,10 +369,10 @@ def tower_ablation(iters: int) -> None:
             carry = step(params, frames, carry)
         float(carry)
         ms = (time.perf_counter() - t0) / iters * 1e3
-        print(f"{tag:18s} {ms:8.2f} ms/iter  {32 / ms * 1e3:6.1f} fps")
+        print(f"{tag:18s} {ms:8.2f} ms/iter  {batch / ms * 1e3:6.1f} fps")
         return ms
 
-    real = bench_tower("tower(qtile)")
+    real = bench_tower("tower(fused)")
     clip_model.multi_head_attention = identity_mha
     try:
         ident = bench_tower("tower(identity)")
@@ -379,12 +386,12 @@ def tower_ablation(iters: int) -> None:
     # PV) x 2 FLOPs/MAC x B x L^2 x D = 4*B*L^2*D FLOPs, over the MXU's bf16
     # peak derated to 50% because both matmuls contract/emit dh=64 wide vs the
     # 128-lane MXU (<=50% fill is intrinsic to dh=64). `real`/`ident` above are
-    # batch-32 wall times, so the floor must count batch-32 FLOPs too.
-    dot_floor = 4 * B * L * L * D / (197e12 * 0.5) * 1e3
+    # full-batch wall times, so the floor must count full-batch FLOPs too.
+    dot_floor = 4 * batch * seq * seq * width / (197e12 * 0.5) * 1e3
     perfect = ident + cfg.vision_layers * dot_floor
     print(f"attention marginal: {marginal:0.3f} ms/layer "
           f"(dot floor {dot_floor:0.3f}); perfect-kernel ceiling "
-          f"{perfect:0.2f} ms/iter = {32 / perfect * 1e3:0.1f} fps")
+          f"{perfect:0.2f} ms/iter = {batch / perfect * 1e3:0.1f} fps")
 
 
 def main() -> None:
@@ -393,10 +400,12 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--check", action="store_true", help="verify vs XLA first")
     ap.add_argument("--tower", action="store_true", help="whole-tower ablation")
+    ap.add_argument("--arch", default="l14@336", choices=("l14", "l14@336"),
+                    help="tower for --tower (isolated variants are @336-only)")
     args = ap.parse_args()
 
     if args.tower:
-        tower_ablation(max(5, args.iters // 3))
+        tower_ablation(max(5, args.iters // 3), args.arch)
         return
 
     import jax

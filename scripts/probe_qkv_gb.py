@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Probe the whole-block qkv kernel at raised per-kernel VMEM limits.
+
+The qtile kernel's round-4 tuning (gb=4 under CompilerParams.vmem_limit_bytes
+=64MB) asked the obvious follow-up: do the *whole-block* kernels behind the
+B/16 headline and the L/14 tower also gain from batch groups past their 12MB
+estimated budget? This sweeps gb at the two production shapes, carry-chained,
+numerics checked vs the XLA formulation.
+
+Usage: python scripts/probe_qkv_gb.py [b16|l14] [gb ...]
+"""
+import functools
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from anomalyclip_tpu.ops.pallas import attention as A
+
+SHAPES = {"b16": (256, 197, 768, 12), "l14": (64, 257, 1024, 16)}
+LIMIT = 64 * 1024 * 1024
+
+
+def make(b, l, d, h, gb, limit):
+    kern = functools.partial(
+        A._mha_qkv_kernel, num_heads=h, scale=1.0 / math.sqrt(d // h), causal=False
+    )
+
+    @jax.jit
+    def run(qkv):
+        return pl.pallas_call(
+            kern,
+            grid=(b // gb,),
+            in_specs=[
+                pl.BlockSpec((gb, l, 3 * d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec((gb, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, l, d), qkv.dtype),
+            compiler_params=None
+            if limit is None
+            else pltpu.CompilerParams(vmem_limit_bytes=limit),
+        )(qkv)
+
+    return run
+
+
+def bench(fn, qkv, iters=40):
+    @jax.jit
+    def step(x, carry):
+        x = jax.lax.dynamic_update_slice(
+            x, carry.astype(x.dtype).reshape(1, 1, 1), (0, 0, 0)
+        )
+        return fn(x)[0, 0, 0].astype(jnp.float32)
+
+    carry = jnp.zeros((), jnp.float32)
+    float(step(qkv, carry))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry = step(qkv, carry)
+    float(carry)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    shape = SHAPES[sys.argv[1] if len(sys.argv) > 1 else "b16"]
+    gbs = [int(a) for a in sys.argv[2:]] or [4, 8]
+    b, l, d, h = shape
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.standard_normal((b, l, 3 * d)) * 0.02, jnp.bfloat16)
+    want = np.asarray(
+        A._xla_mha_bld(qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :], h, False)
+    ).astype(np.float32)
+    print(f"shape B={b} L={l} D={d} H={h}; shipped gb={A._pick_gb(b, l, d, 2)}")
+    for gb in gbs:
+        for limit in (None, LIMIT):
+            tag = "default-16MB" if limit is None else "limit-64MB"
+            try:
+                fn = make(b, l, d, h, gb, limit)
+                got = np.asarray(fn(qkv)).astype(np.float32)
+                err = np.max(np.abs(got - want))
+                ms = bench(fn, qkv)
+                print(f"gb={gb} {tag}: {ms:.3f} ms/layer  max|Δ|={err:.5f}", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"gb={gb} {tag}: FAILED {type(e).__name__}: {str(e)[:140]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
