@@ -25,13 +25,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from anomalyclip_tpu.ops.pallas import attention as A
 
-SHAPES = {"b16": (256, 197, 768, 12), "l14": (64, 257, 1024, 16)}
+SHAPES = {
+    "b16": (256, 197, 768, 12, False),
+    "l14": (64, 257, 1024, 16, False),
+    "b32": (512, 50, 768, 12, False),
+    "text": (256, 77, 512, 8, True),
+}
 LIMIT = 64 * 1024 * 1024
 
 
-def make(b, l, d, h, gb, limit):
+def make(b, l, d, h, gb, limit, causal=False):
     kern = functools.partial(
-        A._mha_qkv_kernel, num_heads=h, scale=1.0 / math.sqrt(d // h), causal=False
+        A._mha_qkv_kernel, num_heads=h, scale=1.0 / math.sqrt(d // h), causal=causal
     )
 
     @jax.jit
@@ -72,18 +77,19 @@ def bench(fn, qkv, iters=40):
 def main():
     shape = SHAPES[sys.argv[1] if len(sys.argv) > 1 else "b16"]
     gbs = [int(a) for a in sys.argv[2:]] or [4, 8]
-    b, l, d, h = shape
+    b, l, d, h, causal = shape
     rng = np.random.default_rng(0)
     qkv = jnp.asarray(rng.standard_normal((b, l, 3 * d)) * 0.02, jnp.bfloat16)
     want = np.asarray(
-        A._xla_mha_bld(qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :], h, False)
+        A._xla_mha_bld(qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :], h, causal)
     ).astype(np.float32)
-    print(f"shape B={b} L={l} D={d} H={h}; shipped gb={A._pick_gb(b, l, d, 2)}")
+    print(f"shape B={b} L={l} D={d} H={h} causal={causal}; "
+          f"shipped gb={A._pick_gb(b, l, d, 2)}")
     for gb in gbs:
         for limit in (None, LIMIT):
             tag = "default-16MB" if limit is None else "limit-64MB"
             try:
-                fn = make(b, l, d, h, gb, limit)
+                fn = make(b, l, d, h, gb, limit, causal)
                 got = np.asarray(fn(qkv)).astype(np.float32)
                 err = np.max(np.abs(got - want))
                 ms = bench(fn, qkv)
