@@ -408,13 +408,19 @@ def _gather_process_outputs(
 
     from jax.experimental import multihost_utils as mh
 
-    chunk = int(os.environ.get("ANOMALYCLIP_GATHER_CHUNK", GATHER_CHUNK_FRAMES))
+    # The chunk size drives the number of collective rounds, so every host must
+    # use the SAME value — a host-local env read would desync the protocol into
+    # a hang if launch wrappers diverge. Each host contributes its local value
+    # to the meta allgather and everyone proceeds with the global minimum.
+    local_chunk = int(os.environ.get("ANOMALYCLIP_GATHER_CHUNK", GATHER_CHUNK_FRAMES))
     n_local = len(per_video)
     local_frames = int(sum(len(v[0]) for v in per_video))
     local_c = int(per_video[0][2].shape[1]) if per_video else 0
     meta = mh.process_allgather(
-        np.array([int(stopped), n_local, local_frames, local_c], np.int64)
-    )  # (P, 4)
+        np.array(
+            [int(stopped), n_local, local_frames, local_c, local_chunk], np.int64
+        )
+    )  # (P, 5)
     if bool(meta[:, 0].any()):
         return {}  # some host was preempted mid-epoch: no partial metrics
     if int(meta[:, 1].sum()) == 0:
@@ -422,6 +428,7 @@ def _gather_process_outputs(
     max_videos = int(meta[:, 1].max())
     max_frames = int(meta[:, 2].max())
     num_c = int(meta[:, 3].max())
+    chunk = max(1, int(meta[:, 4].min()))
     cols = num_c + 2
 
     idx_tab = np.full((max_videos, 2), -1, np.int64)  # (global index, length)

@@ -121,8 +121,13 @@ def _pick_gb(b: int, l: int, d: int, itemsize: int) -> int:
     optimum: gb=8 needs a raised VMEM cap and is 29% slower; a raised cap
     even at gb=4 costs 16% — so unlike the q-tiled kernel these whole-block
     kernels never raise vmem_limit_bytes). Per-shape validation:
-    scripts/validate_pickgb.py."""
-    budget = 19 * 1024 * 1024 if l <= 288 else 12 * 1024 * 1024
+    scripts/validate_pickgb.py — which sweeps bf16 only, so the raised budget
+    is additionally gated on itemsize==2: float32 configs stay on the
+    hardware-proven 12MB selections rather than inherit an unvalidated
+    compile (a 17.9MB fp32 estimate is the same footprint as the bf16
+    (32, 448) shape that hard-crashes Mosaic)."""
+    raised = l <= 288 and itemsize == 2
+    budget = 19 * 1024 * 1024 if raised else 12 * 1024 * 1024
     return _pick_group(b, l, d, itemsize, budget)
 
 
@@ -357,8 +362,12 @@ def _qtile_gb(b: int, l: int, d: int, itemsize: int) -> int:
     _QTILE_VMEM_LIMIT: gb=4 (est. 22MB) compiles, validates, and runs 1.72
     ms/layer vs 1.82 at gb=2 and 2.01 at gb=1 — fewer, larger programs amortize
     the resident-KV DMA — while gb=8 (est. 44MB, ~77MB actual at Mosaic's
-    ~1.75x margin) hard-crashes the Mosaic compile and is correctly excluded."""
-    budget = 24 * 1024 * 1024
+    ~1.75x margin) hard-crashes the Mosaic compile and is correctly excluded.
+    The calibration (scripts/validate_qtile_config.py) swept bf16 only, so the
+    raised budget is gated on itemsize==2; float32 keeps the conservative
+    round-3 6MB budget, under which the @336 shape returns 0 and routes to
+    the flash/XLA fallback instead of an unvalidated Mosaic compile."""
+    budget = 24 * 1024 * 1024 if itemsize == 2 else 6 * 1024 * 1024
     lq = _qtile_lq(l)
     for g in (8, 4, 2, 1):
         if b % g:

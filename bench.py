@@ -328,11 +328,17 @@ def _decode_thread_scaling(record) -> dict:
     from anomalyclip_tpu.data.transforms import _center_offset, _short_side_size
 
     n = min(record.num_frames, 192)
+    # file ids follow the FrameSource contract: sample index + record.start_frame
+    # through the dataset's image template (data/sources.py) — not a hardcoded
+    # 1-based scheme that only happens to exist on long corpora.
     blobs = [
         np.fromfile(
-            os.path.join(record.frames_dir, f"{i:06d}.jpg"), np.uint8
+            os.path.join(
+                record.frames_dir, "{:06d}.jpg".format(i + record.start_frame)
+            ),
+            np.uint8,
         )
-        for i in range(1, n + 1)
+        for i in range(n)
     ]
 
     def one(buf) -> int:

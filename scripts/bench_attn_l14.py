@@ -45,28 +45,10 @@ def _inputs():
 
 
 def _bench(fn, q, kv, iters: int) -> float:
-    """Carry-chain: feed a scalar of the previous output back into q."""
-    import jax
-    import jax.numpy as jnp
+    """Carry-chained timing — single shared methodology (scripts/_bench_util)."""
+    from _bench_util import carry_bench
 
-    @jax.jit
-    def step(q_, kv_, carry):
-        # fold-proof cross-iteration dependency: splice the carry VALUE into one
-        # input element (a `carry * 0` term could legally be simplified away,
-        # leaving only device-queue serialization between iterations)
-        q_ = jax.lax.dynamic_update_slice(
-            q_, carry.astype(q_.dtype).reshape(1, 1, 1), (0, 0, 0)
-        )
-        out = fn(q_, kv_)
-        return out[0, 0, 0].astype(jnp.float32)
-
-    carry = jnp.zeros((), jnp.float32)
-    float(step(q, kv, carry))  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        carry = step(q, kv, carry)
-    float(carry)
-    return (time.perf_counter() - t0) / iters * 1e3
+    return carry_bench(fn, q, kv, iters=iters)
 
 
 def _check_group(gb: int, name: str) -> int:

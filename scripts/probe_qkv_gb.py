@@ -13,7 +13,6 @@ import functools
 import math
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -35,6 +34,9 @@ LIMIT = 64 * 1024 * 1024
 
 
 def make(b, l, d, h, gb, limit, causal=False):
+    # a non-divisor gb would silently benchmark only floor(B/gb)*gb rows and
+    # leave the output tail uninitialized — fail loudly instead
+    assert b % gb == 0, f"gb={gb} does not divide B={b}"
     kern = functools.partial(
         A._mha_qkv_kernel, num_heads=h, scale=1.0 / math.sqrt(d // h), causal=causal
     )
@@ -58,20 +60,9 @@ def make(b, l, d, h, gb, limit, causal=False):
 
 
 def bench(fn, qkv, iters=40):
-    @jax.jit
-    def step(x, carry):
-        x = jax.lax.dynamic_update_slice(
-            x, carry.astype(x.dtype).reshape(1, 1, 1), (0, 0, 0)
-        )
-        return fn(x)[0, 0, 0].astype(jnp.float32)
+    from _bench_util import carry_bench
 
-    carry = jnp.zeros((), jnp.float32)
-    float(step(qkv, carry))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        carry = step(qkv, carry)
-    float(carry)
-    return (time.perf_counter() - t0) / iters * 1e3
+    return carry_bench(fn, qkv, iters=iters)
 
 
 def main():

@@ -9,7 +9,6 @@ import functools
 import math
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -48,20 +47,9 @@ def make(gb: int, lq: int):
 
 
 def bench(fn, q, kv, iters=40):
-    @jax.jit
-    def step(q_, kv_, carry):
-        q_ = jax.lax.dynamic_update_slice(
-            q_, carry.astype(q_.dtype).reshape(1, 1, 1), (0, 0, 0)
-        )
-        return fn(q_, kv_)[0, 0, 0].astype(jnp.float32)
+    from _bench_util import carry_bench
 
-    carry = jnp.zeros((), jnp.float32)
-    float(step(q, kv, carry))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        carry = step(q, kv, carry)
-    float(carry)
-    return (time.perf_counter() - t0) / iters * 1e3
+    return carry_bench(fn, q, kv, iters=iters)
 
 
 def main():

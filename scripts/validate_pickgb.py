@@ -7,7 +7,6 @@ batch group changed when the budget moved 12MB -> 19MB, through the
 and a carry-chained per-layer time."""
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -33,20 +32,9 @@ SHAPES = [
 
 
 def bench(fn, qkv, iters=30):
-    @jax.jit
-    def step(x, carry):
-        x = jax.lax.dynamic_update_slice(
-            x, carry.astype(x.dtype).reshape(1, 1, 1), (0, 0, 0)
-        )
-        return fn(x)[0, 0, 0].astype(jnp.float32)
+    from _bench_util import carry_bench
 
-    carry = jnp.zeros((), jnp.float32)
-    float(step(qkv, carry))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        carry = step(qkv, carry)
-    float(carry)
-    return (time.perf_counter() - t0) / iters * 1e3
+    return carry_bench(fn, qkv, iters=iters)
 
 
 def main():

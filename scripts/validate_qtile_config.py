@@ -5,7 +5,6 @@ every shape whose group/tile selection changed, and a qtile-vs-flash timing
 at (32, 1024, 1024) — the shape the new budget newly routes to qtile."""
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -41,14 +40,12 @@ def check(b, l, d, h):
     return err < 5e-2
 
 
-def bench(fn, *args, iters=30):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+def bench(fn, *arrays, iters=30):
+    # same carry-chained methodology as every other scripts/ timing — a plain
+    # block_until_ready loop can overlap iterations on the remote-TPU tunnel
+    from _bench_util import carry_bench
+
+    return carry_bench(fn, *arrays, iters=iters)
 
 
 def main():
@@ -72,12 +69,12 @@ def main():
     kh = kv[..., :d].reshape(b, l, h, dh).transpose(0, 2, 1, 3).reshape(b * h, l, dh)
     vh = kv[..., d:].reshape(b, l, h, dh).transpose(0, 2, 1, 3).reshape(b * h, l, dh)
     try:
-        t_q = bench(lambda: fused_mha_qtile(q, kv, h))
+        t_q = bench(lambda q_, kv_: fused_mha_qtile(q_, kv_, h), q, kv)
         print(f"qtile  (32,1024,1024): {t_q:.3f} ms")
     except Exception as e:  # noqa: BLE001
         print(f"qtile  (32,1024,1024): FAILED {type(e).__name__}: {str(e)[:200]}")
         t_q = None
-    t_f = bench(lambda: flash_attention_heads(qh, kh, vh))
+    t_f = bench(flash_attention_heads, qh, kh, vh)
     print(f"flash  (32,1024,1024): {t_f:.3f} ms (excl. head-split transposes)")
     print("ALL OK" if ok else "NUMERIC/COMPILE FAILURES ABOVE")
 

@@ -362,7 +362,11 @@ def test_from_frames_fused_kernels_on_tpu_match(fs, frames_case):
         cwd=str(REPO_ROOT),
         capture_output=True,
         text=True,
-        timeout=600,
+        # 386s measured alone on this harness (fp32-highest matmuls over the
+        # tunnel, fresh in-subprocess compile); the margin absorbs host
+        # contention when the suite shares the single core with the oracle
+        # fixtures — a 600s cap timed out under exactly that load.
+        timeout=1500,
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
 

@@ -271,7 +271,7 @@ _GATHER_WORKER = textwrap.dedent(
     # the preempted path must also clear the chunked protocol symmetrically
     got_stop = _gather_process_outputs(per_video, mine, stopped=(pid == 1))
     assert got_stop == {}
-    print(f"proc {pid}: gather ok ({sum(lengths)} frames, chunk=64)", flush=True)
+    print(f"proc {pid}: gather ok ({sum(lengths)} frames)", flush=True)
     """
 )
 
@@ -280,9 +280,11 @@ _GATHER_WORKER = textwrap.dedent(
 def test_two_process_skewed_shard_gather(tmp_path):
     """The chunked eval gather across 2 real processes with deliberately skewed
     shard sizes: outputs are bit-identical to the global concatenation on BOTH
-    hosts, while every collective round carries a fixed 64-frame payload per
-    host (ANOMALYCLIP_GATHER_CHUNK) — peak gather memory is independent of the
-    longest shard."""
+    hosts, while every collective round carries a fixed small payload per host
+    (ANOMALYCLIP_GATHER_CHUNK) — peak gather memory is independent of the
+    longest shard. The two hosts are deliberately given DIFFERENT chunk env
+    values (64 vs 96): the protocol must agree on the global minimum instead
+    of desyncing the collective round count into a hang."""
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     port = _free_port()
     procs = []
@@ -296,7 +298,9 @@ def test_two_process_skewed_shard_gather(tmp_path):
             JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
             JAX_NUM_PROCESSES="2",
             JAX_PROCESS_ID=str(pid),
-            ANOMALYCLIP_GATHER_CHUNK="64",  # force many rounds + padded tails
+            # force many rounds + padded tails; hosts disagree on purpose —
+            # the gather must settle on min(64, 96) rather than hang
+            ANOMALYCLIP_GATHER_CHUNK=str(64 + 32 * pid),
         )
         procs.append(
             subprocess.Popen(

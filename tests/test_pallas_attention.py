@@ -231,11 +231,34 @@ def test_qtile_eligibility_covers_the_long_tail():
     assert mha_qtile_eligible(32, 1024, 512, 8, 2)  # longer L at smaller width
     # L=1024 and L=1536 at D=1024 fit the 24MB budget — hardware-validated
     # (compile, match XLA to bf16 rounding, and beat the flash kernel there:
-    # 3.12 vs 6.32 ms at L=1024 on v5e)
+    # 3.06 vs 6.17 ms at L=1024 on v5e, carry-chained)
     assert mha_qtile_eligible(32, 1024, 1024, 16, 2)
     assert mha_qtile_eligible(32, 1536, 1024, 16, 2)
     assert not mha_qtile_eligible(32, 3072, 1024, 16, 2)  # resident KV > budget
     assert not mha_qtile_eligible(32, 577, 1000, 16, 2)  # heads don't divide D
+
+
+def test_raised_group_budgets_are_bf16_only():
+    """The round-4 raised VMEM budgets (19MB whole-block, 24MB q-tiled) are
+    hardware-calibrated with bf16 sweeps only (scripts/validate_pickgb.py,
+    scripts/validate_qtile_config.py); float32 must keep the conservative,
+    proven selections rather than inherit an unvalidated Mosaic compile."""
+    from anomalyclip_tpu.ops.pallas.attention import (
+        _pick_gb,
+        _qtile_gb,
+        mha_qtile_eligible,
+    )
+
+    # ViT-L/14 shape: bf16 gets the raised-budget gb=4; fp32 stays at gb=1
+    # (its 12MB-budget selection — gb=2 would estimate 17.9MB, the same
+    # footprint as the bf16 (32, 448) config that hard-crashes Mosaic)
+    assert _pick_gb(64, 257, 1024, 2) == 4
+    assert _pick_gb(64, 257, 1024, 4) == 1
+    # ViT-L/14@336 shape: bf16 q-tiles at gb=4; fp32 exceeds the 6MB
+    # conservative budget entirely and routes to the flash/XLA fallback
+    assert _qtile_gb(32, 577, 1024, 2) == 4
+    assert _qtile_gb(32, 577, 1024, 4) == 0
+    assert not mha_qtile_eligible(32, 577, 1024, 16, 4)
 
 
 def test_mha_eligibility_rejects_long_sequences():
