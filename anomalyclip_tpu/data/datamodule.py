@@ -40,6 +40,9 @@ class DataConfig:
     ncrops: int = 1
     spatialannotationdir_path: Optional[str] = None
     visualize: bool = False
+    # 1 = reference parity (every frame rendered, src/utils/visualizer.py:222-256);
+    # >1 renders every k-th frame as a speed knob (each frame is a matplotlib figure)
+    visualize_frame_step: int = 1
     fast_decode: bool = False  # cv2 JPEG decode (faster, near-parity preprocessing)
 
     @staticmethod

@@ -34,7 +34,7 @@ class Visualizer:
         image_tmpl: str = "{:06d}.jpg",
         save_dir: str | Path = ".",
         fps: int = 16,
-        frame_step: int = 16,
+        frame_step: int = 1,
     ):
         self.normal_id = normal_id
         with open(labels_file) as f:
@@ -43,7 +43,11 @@ class Visualizer:
         self.save_dir = Path(save_dir) / "visualizations"
         self.save_dir.mkdir(parents=True, exist_ok=True)
         self.fps = fps
-        self.frame_step = frame_step  # render every k-th frame to bound cost
+        # frame_step=1 matches the reference, which renders EVERY frame
+        # (reference: src/utils/visualizer.py:222-256). Values >1 render every
+        # k-th frame as an opt-in speed knob (data.visualize_frame_step) —
+        # each frame is a full matplotlib figure, so step 16 is ~16x cheaper.
+        self.frame_step = frame_step
 
     def _frames_dir(self, path: str) -> Optional[Path]:
         p = Path(path)

@@ -119,8 +119,10 @@ def _pick_gb(b: int, l: int, d: int, itemsize: int) -> int:
     the original 12MB budget's selections are all hardware-proven. The
     ViT-B/16 shape keeps selecting gb=4 under either budget (its measured
     optimum: gb=8 needs a raised VMEM cap and is 29% slower; a raised cap
-    even at gb=4 costs 16% — so unlike the q-tiled kernel these whole-block
-    kernels never raise vmem_limit_bytes). Per-shape validation:
+    even at gb=4 costs 16% — so the whole-block kernels raise
+    vmem_limit_bytes only for selections whose estimate exceeds the 12MB
+    budget, where it is needed to compile at all; see _whole_block_params).
+    Per-shape validation:
     scripts/validate_pickgb.py — which sweeps bf16 only, so the raised budget
     is additionally gated on itemsize==2: float32 configs stay on the
     hardware-proven 12MB selections rather than inherit an unvalidated
@@ -363,11 +365,16 @@ def _qtile_gb(b: int, l: int, d: int, itemsize: int) -> int:
     ms/layer vs 1.82 at gb=2 and 2.01 at gb=1 — fewer, larger programs amortize
     the resident-KV DMA — while gb=8 (est. 44MB, ~77MB actual at Mosaic's
     ~1.75x margin) hard-crashes the Mosaic compile and is correctly excluded.
-    The calibration (scripts/validate_qtile_config.py) swept bf16 only, so the
-    raised budget is gated on itemsize==2; float32 keeps the conservative
-    round-3 6MB budget, under which the @336 shape returns 0 and routes to
-    the flash/XLA fallback instead of an unvalidated Mosaic compile."""
-    budget = 24 * 1024 * 1024 if itemsize == 2 else 6 * 1024 * 1024
+    The calibration (scripts/validate_qtile_config.py) swept bf16 only and up
+    to L=1536, so the raised budget is doubly gated: on itemsize==2 AND on
+    L<=1536 (the largest hardware-validated sequence — the 24MB budget alone
+    would admit L≈2700 at D=1024, an unvalidated Mosaic compile whose failure
+    mode elsewhere in this file is a hard crash, not a clean fallback).
+    Outside either gate the conservative round-3 6MB budget applies, under
+    which e.g. the fp32 @336 shape returns 0 and routes to the flash/XLA
+    fallback instead."""
+    raised = itemsize == 2 and l <= 1536
+    budget = 24 * 1024 * 1024 if raised else 6 * 1024 * 1024
     lq = _qtile_lq(l)
     for g in (8, 4, 2, 1):
         if b % g:

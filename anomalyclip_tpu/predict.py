@@ -315,6 +315,7 @@ def main(argv=None) -> dict:
             labels_file=module.datamodule.cfg.labels_file,
             image_tmpl=data_cfg.get("image_tmpl", "{:06d}.jpg"),
             save_dir=cfg.get("paths", {}).get("output_dir", "."),
+            frame_step=int(data_cfg.get("visualize_frame_step", 1)),
         )
         viz.process_video(vs)
 

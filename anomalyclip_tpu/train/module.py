@@ -1139,6 +1139,7 @@ class AnomalyCLIPTrainModule:
                 labels_file=self.datamodule.cfg.labels_file,
                 image_tmpl=self.datamodule.cfg.image_tmpl,
                 save_dir=self.save_dir,
+                frame_step=self.datamodule.cfg.visualize_frame_step,
             )
             on_video = viz.process_video
 

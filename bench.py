@@ -215,7 +215,7 @@ def _bench_e2e_ingest() -> None:
     decode_fps = decoded / (time.perf_counter() - t0)
     pool.shutdown()
 
-    decode_scaling = _decode_thread_scaling(records[0])
+    decode_scaling = _decode_thread_scaling(records[0], src.image_tmpl)
 
     # one warm 256-frame encode DISPATCH from a host array, uint8 vs float32:
     # ships the chunk over the host->device link and encodes. On this harness
@@ -312,7 +312,7 @@ def _bench_e2e_ingest() -> None:
     )
 
 
-def _decode_thread_scaling(record) -> dict:
+def _decode_thread_scaling(record, image_tmpl: str = "{:06d}.jpg") -> dict:
     """Measured decode+preprocess thread-scaling: the same in-memory JPEG set
     decoded at 1/2/4/... threads up to os.cpu_count(). Turns "decode scales
     linearly with cores" from an assertion into a measurement wherever the
@@ -329,12 +329,12 @@ def _decode_thread_scaling(record) -> dict:
 
     n = min(record.num_frames, 192)
     # file ids follow the FrameSource contract: sample index + record.start_frame
-    # through the dataset's image template (data/sources.py) — not a hardcoded
-    # 1-based scheme that only happens to exist on long corpora.
+    # through the dataset's image template (data/sources.py) — the caller passes
+    # the FrameSource's actual image_tmpl so non-default corpora work too.
     blobs = [
         np.fromfile(
             os.path.join(
-                record.frames_dir, "{:06d}.jpg".format(i + record.start_frame)
+                record.frames_dir, image_tmpl.format(i + record.start_frame)
             ),
             np.uint8,
         )

@@ -94,3 +94,44 @@ def test_reference_trainer_group_names_compose():
         cfg = compose(CONFIG_DIR, "train", ["experiment=synthetic", f"trainer={name}"])
         assert cfg["trainer"]["accelerator"] == acc, name
         assert cfg["trainer"]["devices"] == dev, name
+
+
+@pytest.mark.parametrize(
+    "experiment,bundle",
+    [
+        ("ucfcrime", "ucfcrime_tpe"),
+        ("ucfcrime", "ucfcrime_random"),
+        ("xdviolence", "xdviolence_tpe"),
+        ("xdviolence", "xdviolence_random"),
+        ("shanghaitech", "shanghaitech_tpe"),
+        ("shanghaitech", "shanghaitech_random"),
+        ("synthetic", "synthetic_tpe"),
+        ("synthetic", "synthetic_random"),
+    ],
+)
+def test_hparams_search_bundles_compose(experiment, bundle):
+    """Every hparams_search bundle composes against its experiment, optimizes a
+    metric the evaluator actually logs (XD-Violence's headline is AP -> auc_pr,
+    SURVEY.md §6), and every search-space key resolves to a real node in the
+    composed config (a typo'd dotted path would silently create a new key at
+    trial-override time instead of tuning anything)."""
+    cfg = compose(
+        CONFIG_DIR, "train", [f"experiment={experiment}", f"hparams_search={bundle}"]
+    )
+    expected_metric = "auc_pr" if experiment == "xdviolence" else "auc_roc"
+    assert cfg["optimized_metric"] == expected_metric
+    hs = cfg["hparams_search"]
+    assert hs["sampler"] in ("tpe", "random", "grid")
+    assert int(hs["n_trials"]) >= 1
+    space = hs["space"]
+    assert space
+    for dotted, spec in space.items():
+        node = cfg
+        for part in dotted.split("."):
+            assert part in node, f"{bundle}: space key {dotted!r} missing at {part!r}"
+            node = node[part]
+        kind = spec.get("type", "choice")
+        if kind == "choice":
+            assert spec["values"]
+        else:
+            assert float(spec["low"]) < float(spec["high"])

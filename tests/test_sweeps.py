@@ -116,3 +116,27 @@ def test_ddp_sim_alias_fans_out_virtual_devices(tmp_path):
     out = r.stdout + r.stderr
     assert r.returncode == 0, out[-2000:]
     assert "data mesh: OrderedDict({'data': 2})" in out, out[-2000:]
+
+
+@pytest.mark.slow
+def test_hparams_search_real_dataset_bundle_smoke(tmp_path):
+    """The real-dataset search bundles (VERDICT r4 item 8) drive the same sweep
+    machinery end-to-end: ucfcrime_random only sets optimized_metric +
+    hparams_search, so composing it over the synthetic experiment exercises its
+    space keys (model.solver.lr / model.net.num_topk / model.loss.lambda_sparse)
+    against a runnable config."""
+    result = _run_train(
+        tmp_path,
+        "experiment=synthetic",
+        "trainer=cpu",
+        "trainer.max_epochs=1",
+        "trainer.limit_train_batches=1",
+        "trainer.limit_val_batches=2",
+        "hparams_search=ucfcrime_random",
+        "hparams_search.n_trials=2",
+        "test=False",
+        "extras.print_config=False",
+    )
+    assert result.returncode == 0, result.stdout[-2000:] + result.stderr[-2000:]
+    assert "hparams_search[random]: 2 trials optimizing auc_roc" in result.stdout
+    assert "hparams_search best: trial" in result.stdout

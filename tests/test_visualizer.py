@@ -58,3 +58,24 @@ def test_process_video_with_frames(tmp_path):
     cap = cv2.VideoCapture(str(out))
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4  # ceil(32/8)
     cap.release()
+
+
+def test_default_frame_step_renders_every_frame(tmp_path):
+    """Reference parity: the default Visualizer renders one mp4 frame per score
+    (reference src/utils/visualizer.py:222-256 renders every frame; frame_step
+    is our opt-in speed knob, default 1)."""
+    frames_dir = tmp_path / "video03"
+    frames_dir.mkdir()
+    rng = np.random.default_rng(2)
+    t = 12
+    for i in range(t):
+        img = rng.integers(0, 255, size=(32, 48, 3), dtype=np.uint8)
+        cv2.imwrite(str(frames_dir / f"{i:06d}.jpg"), img)
+
+    viz = Visualizer(normal_id=3, labels_file=str(LABELS), save_dir=tmp_path)
+    assert viz.frame_step == 1
+    vs = _fake_scores(t=t, n_abn=5, path=str(frames_dir))
+    viz.process_video(vs)
+    cap = cv2.VideoCapture(str(tmp_path / "visualizations" / "video03.mp4"))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == len(vs.scores)
+    cap.release()
