@@ -1056,8 +1056,6 @@ class AnomalyCLIPTrainModule:
             # (reference contract: src/eval.py:73, README.md:72-76). The model is
             # rebuilt around the checkpoint's own CLIP weights/shapes so the
             # eval is self-contained regardless of the session's clip_init.
-            import dataclasses
-
             from anomalyclip_tpu.convert_ckpt import (
                 convert_lightning_checkpoint,
                 converted_clip_config,
@@ -1066,30 +1064,8 @@ class AnomalyCLIPTrainModule:
 
             sd = load_lightning_state_dict(ckpt_path)  # one disk load, shared
             frozen, trainable, bn_state = convert_lightning_checkpoint(sd)
-            ckpt_clip_cfg = converted_clip_config(sd)
-            n_ctx = int(np.asarray(trainable["prompt_ctx"]).shape[-2])
-            # rebuild unconditionally: prompt_spec (token prefix/suffix, EOT
-            # indices) is derived from the token embedding, so even a same-shape
-            # config must not keep a spec computed from the *session's* CLIP
-            # while the frozen weights are swapped to the checkpoint's
-            self.net_cfg = dataclasses.replace(self.net_cfg, n_ctx=n_ctx)
-            self.model, _ = AnomalyCLIP.build(
-                self.net_cfg, frozen["clip"], ckpt_clip_cfg
-            )
-            self._encode_frames_jit = None  # stale jit for the old model
-            self._scorer_cache = None  # and stale scorer executables
-            self._frozen_dev = None  # and the stale single-device placement
-            self._text_frozen_dev = None  # and the stale text-subtree copy
-            # host-resident: device placement stays explicit and path-aware so
-            # the TP path can stream shards without a full copy on device 0
-            self.frozen = jax.tree_util.tree_map(np.asarray, frozen)
-            return TrainState(
-                trainable=jax.tree_util.tree_map(jnp.asarray, trainable),
-                opt_state=None,
-                bn_state=BNState(
-                    jnp.asarray(bn_state.mean), jnp.asarray(bn_state.var)
-                ),
-                step=jnp.zeros((), jnp.int32),
+            return self.adopt_converted_state(
+                frozen, trainable, bn_state, converted_clip_config(sd)
             )
         restored = self.ckpt.restore(ckpt_path)
         ctx = np.asarray(restored["trainable"]["prompt_ctx"])
@@ -1107,6 +1083,37 @@ class AnomalyCLIPTrainModule:
             opt_state=None,
             bn_state=restored["bn_state"],
             step=jnp.asarray(restored["step"], jnp.int32),
+        )
+
+    def adopt_converted_state(
+        self, frozen, trainable, bn_state: BNState, clip_cfg
+    ) -> TrainState:
+        """Swap this module onto already-converted parameter trees (the output
+        of convert_ckpt.convert_lightning_checkpoint, or any equivalent trees
+        such as the frozen golden fixtures in tests/golden/): rebuild the model
+        around the trees' own CLIP and invalidate every compiled/placed cache.
+        """
+        import dataclasses
+
+        n_ctx = int(np.asarray(trainable["prompt_ctx"]).shape[-2])
+        # rebuild unconditionally: prompt_spec (token prefix/suffix, EOT
+        # indices) is derived from the token embedding, so even a same-shape
+        # config must not keep a spec computed from the *session's* CLIP
+        # while the frozen weights are swapped to the adopted trees'
+        self.net_cfg = dataclasses.replace(self.net_cfg, n_ctx=n_ctx)
+        self.model, _ = AnomalyCLIP.build(self.net_cfg, frozen["clip"], clip_cfg)
+        self._encode_frames_jit = None  # stale jit for the old model
+        self._scorer_cache = None  # and stale scorer executables
+        self._frozen_dev = None  # and the stale single-device placement
+        self._text_frozen_dev = None  # and the stale text-subtree copy
+        # host-resident: device placement stays explicit and path-aware so
+        # the TP path can stream shards without a full copy on device 0
+        self.frozen = jax.tree_util.tree_map(np.asarray, frozen)
+        return TrainState(
+            trainable=jax.tree_util.tree_map(jnp.asarray, trainable),
+            opt_state=None,
+            bn_state=BNState(jnp.asarray(bn_state.mean), jnp.asarray(bn_state.var)),
+            step=jnp.zeros((), jnp.int32),
         )
 
     def test(
