@@ -24,10 +24,15 @@ Numerics: scores accumulate in fp32 on the MXU; softmax subtracts the row max
 happens on the (gb, L, Dh) output, not the (gb, L, L) weights. This matches the
 XLA path to ~1e-5 in fp32 and ~5e-2 in bf16 (tests/test_pallas_attention.py).
 
-Gradient support: custom VJP whose backward recomputes attention in plain XLA.
-The only gradient consumer is the CoOp prompt path through the 77-token text
-transformer (reference: src/models/components/coop.py:49), where recompute is
-noise; the frozen ViT never differentiates attention at scale.
+Gradient support: the whole-block kernels (``fused_mha_bld``, ``fused_mha_qkv``,
+``fused_attention``) ship a fused Pallas BACKWARD — scores/softmax recomputed
+per head in VMEM, exact dq/dk/dv via the softmax VJP, no (B, H, L, L) tensor in
+HBM (see the backward section below). Shapes outside mha_bwd_eligible, and the
+long-sequence kernels (``fused_mha_qtile``, ``flash_attention_heads``), fall
+back to jax.vjp of the XLA formulation, which does materialize fp32 scores in
+HBM on the backward — each entry point's docstring states its backward path.
+The production gradient consumers (CoOp text tower L=77, temporal grid L=32/16,
+reference: src/models/components/coop.py:49) all take the fused backward.
 
 ``fused_attention`` (q, k, v already split into (B, H, L, Dh)) remains for callers
 that hold per-head tensors; it shares the same in-VMEM softmax design.
@@ -191,7 +196,7 @@ def _mha_bld_impl(q, k, v, num_heads: int, causal: bool, interpret: bool):
 
 def _xla_mha_bld(q, k, v, num_heads, causal):
     """(B, L, D) wrapper over the single XLA reference formulation (one source of
-    truth for both custom-VJP backward passes)."""
+    truth for the custom-VJP fallback backward passes)."""
     b, l, d = q.shape
     dh = d // num_heads
 
@@ -202,12 +207,177 @@ def _xla_mha_bld(q, k, v, num_heads, causal):
     return out.transpose(0, 2, 1, 3).reshape(b, l, d)
 
 
+# ---------------------------------------------------------------------------
+# Fused whole-block BACKWARD — dq/dk/dv with scores recomputed in VMEM
+# ---------------------------------------------------------------------------
+#
+# The forward kernels' historical backward fell back to jax.vjp of the XLA
+# formulation, which materializes the fp32 (B, H, L, L) score tensor in HBM —
+# measured noise for THIS model (only the 77-token text tower differentiates
+# through attention; the ViT is frozen) but a real cliff for any unfrozen-
+# encoder or long-grid training. This kernel closes it: per batch-group
+# program, per head, recompute s = qk^T, softmax, then the exact softmax VJP
+#
+#     dV = P^T g,   dS = P * (gV^T - rowsum(P * gV^T)),  dQ = dS K,  dK = dS^T Q
+#
+# entirely in VMEM (rowsum(P*dP) == rowsum(g*o), so the forward needs no extra
+# residuals — q/k/v are enough). All matmuls accumulate fp32 on the MXU; for
+# low-precision inputs the P/dS operands are cast back to the input dtype
+# before the second-stage matmuls, mirroring the forward's e.astype(v.dtype).
+
+
+def _mha_bwd_head(q, k, v, g, scale: float, causal_mask):
+    """One head's (dq, dk, dv), fp32 math, nothing leaves VMEM."""
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    if causal_mask is not None:
+        s = jnp.where(causal_mask, s, NEG_INF)
+    m = jnp.max(s, axis=2, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=2, keepdims=True)  # (gb, Lq, Lk) fp32
+    dp = jax.lax.dot_general(  # g[b,q,d] . v[b,k,d] -> (gb, Lq, Lk)
+        g, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(p * dp, axis=2, keepdims=True)  # == rowsum(g * o)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    pc = p.astype(v.dtype)
+    dq = jax.lax.dot_general(  # ds[b,q,k] . k[b,k,d] -> (gb, Lq, Dh)
+        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dk = jax.lax.dot_general(  # ds[b,q,k] . q[b,q,d] -> (gb, Lk, Dh)
+        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dv = jax.lax.dot_general(  # p[b,q,k] . g[b,q,d] -> (gb, Lk, Dh)
+        pc, g, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    return dq, dk, dv
+
+
+def _mha_bld_bwd_kernel(
+    q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+    *, num_heads: int, scale: float, causal: bool,
+):
+    gb, l, d = q_ref.shape
+    dh = d // num_heads
+    mask = _causal_mask(gb, l) if causal else None
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        dq, dk, dv = _mha_bwd_head(
+            q_ref[:, :, sl], k_ref[:, :, sl], v_ref[:, :, sl], g_ref[:, :, sl],
+            scale, mask,
+        )
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _mha_qkv_bwd_kernel(
+    qkv_ref, g_ref, dqkv_ref, *, num_heads: int, scale: float, causal: bool
+):
+    """Packed variant: reads the (gb, L, 3D) qkv block, writes the (gb, L, 3D)
+    gradient block — the packed projection's VJP without ever splitting q/k/v
+    into HBM buffers (the same profiling rationale as the forward qkv kernel)."""
+    gb, l, d3 = qkv_ref.shape
+    d = d3 // 3
+    dh = d // num_heads
+    mask = _causal_mask(gb, l) if causal else None
+    for h in range(num_heads):
+        sq = slice(h * dh, (h + 1) * dh)
+        sk = slice(d + h * dh, d + (h + 1) * dh)
+        sv = slice(2 * d + h * dh, 2 * d + (h + 1) * dh)
+        dq, dk, dv = _mha_bwd_head(
+            qkv_ref[:, :, sq], qkv_ref[:, :, sk], qkv_ref[:, :, sv],
+            g_ref[:, :, sq], scale, mask,
+        )
+        dqkv_ref[:, :, sq] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, sk] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, sv] = dv.astype(dqkv_ref.dtype)
+
+
+def _pick_gb_bwd(b: int, l: int, d: int, itemsize: int) -> int:
+    """Batch-block for the backward kernels. Working set per program: 7 (g, L, D)
+    blocks (q, k, v, g, dq, dk, dv — the packed variant's 2x(g, L, 3D) + (g, L, D)
+    is the same total) double-buffered, plus ~3 fp32 (g, L, L) score/dp/ds
+    scratch tensors for one head. The 12MB estimated budget is the
+    hardware-conservative tier (same margin story as _pick_gb's un-raised
+    tier); shapes past it fall back to the XLA-recompute VJP rather than risk
+    an unvalidated Mosaic compile."""
+    for g in (8, 4, 2, 1):
+        if b % g:
+            continue
+        blocks = 7 * g * l * d * itemsize * 2
+        scratch = 3 * g * l * l * 4
+        if blocks + scratch <= 12 * 1024 * 1024:
+            return g
+    return 0
+
+
+def mha_bwd_eligible(b: int, l: int, d: int, num_heads: int, itemsize: int) -> bool:
+    """Static check for the fused whole-block backward: same L<=448 Mosaic
+    envelope as the forward (mha_eligible), with the backward's larger working
+    set. Ineligible shapes take the XLA-recompute VJP."""
+    return d % num_heads == 0 and l <= 448 and _pick_gb_bwd(b, l, d, itemsize) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "causal", "interpret"))
+def _mha_bld_bwd_impl(q, k, v, g, num_heads: int, causal: bool, interpret: bool):
+    b, l, d = q.shape
+    dh = d // num_heads
+    gb = _pick_gb_bwd(b, l, d, q.dtype.itemsize)
+    assert gb > 0, f"shape (B={b}, L={l}, D={d}) does not fit the fused MHA backward"
+    kern = functools.partial(
+        _mha_bld_bwd_kernel, num_heads=num_heads, scale=1.0 / math.sqrt(dh),
+        causal=causal,
+    )
+    spec = pl.BlockSpec((gb, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((b, l, d), q.dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(b // gb,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+    )(q, k, v, g.astype(q.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "causal", "interpret"))
+def _mha_qkv_bwd_impl(qkv, g, num_heads: int, causal: bool, interpret: bool):
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    gb = _pick_gb_bwd(b, l, d, qkv.dtype.itemsize)
+    assert gb > 0, f"shape (B={b}, L={l}, D={d}) does not fit the fused MHA backward"
+    kern = functools.partial(
+        _mha_qkv_bwd_kernel, num_heads=num_heads, scale=1.0 / math.sqrt(dh),
+        causal=causal,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, l, d3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, l, d3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, d3), qkv.dtype),
+        interpret=interpret,
+    )(qkv, g.astype(qkv.dtype))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_mha_bld(q, k, v, num_heads: int, causal: bool = False, interpret: bool = False):
     """Fused attention over (B, L, D) q/k/v; heads split in VMEM; softmax in fp32.
 
-    Backward recomputes attention with the plain XLA formulation and
-    differentiates that — identical math, so gradients are exact to rounding.
+    BACKWARD: a fused Pallas kernel when the shape fits (mha_bwd_eligible —
+    the same L<=448 envelope with the backward's 7-block working set):
+    scores/softmax recomputed per head in VMEM, exact dq/dk/dv via the softmax
+    VJP, no (B, H, L, L) tensor in HBM. Ineligible shapes fall back to
+    jax.vjp of the XLA formulation, which DOES materialize the fp32
+    (B, H, L, L) score tensor in HBM on the backward — identical math, exact
+    to rounding, but HBM-bound at scale.
     """
     return _mha_bld_impl(q, k, v, num_heads, causal, interpret)
 
@@ -218,6 +388,9 @@ def _mha_bld_fwd(q, k, v, num_heads, causal, interpret):
 
 def _mha_bld_bwd(num_heads, causal, interpret, res, g):
     q, k, v = res
+    b, l, d = q.shape
+    if mha_bwd_eligible(b, l, d, num_heads, q.dtype.itemsize):
+        return _mha_bld_bwd_impl(q, k, v, g, num_heads, causal, interpret)
     _, vjp = jax.vjp(
         lambda q_, k_, v_: _xla_mha_bld(q_, k_, v_, num_heads, causal), q, k, v
     )
@@ -279,7 +452,12 @@ def fused_mha_qkv(qkv, num_heads: int, causal: bool = False, interpret: bool = F
     """Fused attention over a packed (B, L, 3D) qkv tensor (lane order q|k|v,
     matching ``x @ qkv_w``); heads split in VMEM; softmax in fp32. The packed
     input keeps the qkv projection's output as the kernel's only operand —
-    zero intermediate HBM copies between the GEMM and attention."""
+    zero intermediate HBM copies between the GEMM and attention.
+
+    BACKWARD: the packed fused Pallas backward when the shape fits
+    (mha_bwd_eligible) — (B, L, 3D) gradient written directly, scores
+    recomputed in VMEM, no (B, H, L, L) HBM tensor. Otherwise jax.vjp of the
+    XLA formulation (exact, but materializes fp32 scores in HBM)."""
     return _mha_qkv_impl(qkv, num_heads, causal, interpret)
 
 
@@ -289,9 +467,12 @@ def _mha_qkv_fwd(qkv, num_heads, causal, interpret):
 
 def _mha_qkv_bwd(num_heads, causal, interpret, res, g):
     (qkv,) = res
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    if mha_bwd_eligible(b, l, d, num_heads, qkv.dtype.itemsize):
+        return (_mha_qkv_bwd_impl(qkv, g, num_heads, causal, interpret),)
 
     def ref_fn(qkv_):
-        d = qkv_.shape[-1] // 3
         return _xla_mha_bld(
             qkv_[..., :d], qkv_[..., d : 2 * d], qkv_[..., 2 * d :], num_heads, causal
         )
@@ -431,7 +612,15 @@ def fused_mha_qtile(q, kv, num_heads: int, interpret: bool = False):
     """Exact attention over q (B, L, D) and packed k|v (B, L, 2D), queries tiled
     over a grid with the K|V block resident in VMEM; softmax in fp32. For
     sequences past the whole-block kernels' VMEM cap. Non-causal only (the only
-    long-L consumer is the vision tower; the causal text stack is L=77)."""
+    long-L consumer is the vision tower; the causal text stack is L=77).
+
+    BACKWARD: NO fused kernel — jax.vjp of the XLA formulation, which
+    materializes the fp32 (B, H, L, L) score tensor in HBM (~21GB-scale is
+    impossible, but at this kernel's L=577 production shape it is ~680MB at
+    B=32 and merely slow). Differentiating an unfrozen ViT-L/14@336 tower at
+    scale needs a flash-style dq/dk/dv with dk/dv accumulation across q tiles;
+    nothing in the supported model differentiates through this rung (the ViT
+    is frozen; the trainable text tower is L=77 whole-block)."""
     return _mha_qtile_impl(q, kv, num_heads, interpret)
 
 
@@ -548,8 +737,14 @@ def _flash_impl(q, k, v, interpret: bool):
 def flash_attention_heads(q, k, v, interpret: bool = False):
     """Exact attention over per-head (BH, L, dh) operands with KV-blocked online
     softmax — no sequence-length cap (VMEM use is independent of L). Non-causal
-    (the only long-L consumer is the vision tower). Backward recomputes via the
-    XLA formulation, like every kernel in this module."""
+    (the only long-L consumer is the vision tower).
+
+    BACKWARD: NO fused kernel — jax.vjp of the XLA formulation, which
+    materializes the fp32 (BH, L, L) score tensor in HBM. At the unbounded
+    sequence lengths this forward exists for, that can exceed HBM outright:
+    training through this rung requires a KV-blocked backward (running
+    dk/dv accumulators per KV block). No supported model differentiates
+    through it (frozen vision tower only)."""
     return _flash_impl(q, k, v, interpret)
 
 
@@ -639,7 +834,12 @@ def _fused_attention_impl(q, k, v, causal: bool, interpret: bool):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_attention(q, k, v, causal: bool = False, interpret: bool = False):
-    """Fused attention over (B, H, L, Dh); softmax in fp32; scores stay in VMEM."""
+    """Fused attention over (B, H, L, Dh); softmax in fp32; scores stay in VMEM.
+
+    BACKWARD: heads fold into the batch axis and run the fused whole-block
+    Pallas backward (single-head (B*H, L, Dh) layout) when mha_bwd_eligible;
+    otherwise jax.vjp of the XLA formulation, which materializes the fp32
+    (B, H, L, L) score tensor in HBM on the backward."""
     return _fused_attention_impl(q, k, v, causal, interpret)
 
 
@@ -649,6 +849,15 @@ def _fused_attention_fwd(q, k, v, causal, interpret):
 
 def _fused_attention_bwd(causal, interpret, res, g):
     q, k, v = res
+    b, h, l, dh = q.shape
+    if mha_bwd_eligible(b * h, l, dh, 1, q.dtype.itemsize):
+        dq, dk, dv = _mha_bld_bwd_impl(
+            q.reshape(b * h, l, dh), k.reshape(b * h, l, dh),
+            v.reshape(b * h, l, dh), g.reshape(b * h, l, dh),
+            1, causal, interpret,
+        )
+        return (dq.reshape(b, h, l, dh), dk.reshape(b, h, l, dh),
+                dv.reshape(b, h, l, dh))
     _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, causal), q, k, v)
     return vjp(g)
 

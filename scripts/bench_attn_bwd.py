@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Benchmark + hardware-validate the fused whole-block attention BACKWARD.
+
+Two jobs (VERDICT r4 item 2):
+  1. prove the Mosaic compile of ops/pallas/attention.py's backward kernels is
+     real hardware behavior (the interpret-mode tests cannot), and pin fp32
+     parity vs the XLA-recompute VJP on the chip;
+  2. measure fwd+bwd step time of the fused backward vs the XLA-recompute
+     fallback at the shapes the model actually differentiates — the CoOp
+     prompt-learning text tower (n_cls, 77, 512) and the temporal axial grid
+     (b*l, 32, emb) / (b*n, 16, emb) — plus the unfrozen-encoder regime
+     (256, 197, 768) where the HBM score tensor actually bites.
+
+All inputs are generated ON DEVICE (jax.random) and parity errors reduced on
+device: over the remote-TPU tunnel, shipping (256, 197, 768) operands would
+dominate the run. Output is line-buffered so partial results survive a kill.
+
+Usage: python scripts/bench_attn_bwd.py [--iters 20] [--dtype bf16|fp32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from _bench_util import carry_bench  # noqa: E402
+
+from anomalyclip_tpu.ops.pallas.attention import (  # noqa: E402
+    _mha_bld_bwd_impl,
+    _xla_mha_bld,
+    fused_mha_bld,
+    mha_bwd_eligible,
+)
+
+# (label, b, l, d, heads, causal) — the gradient-consuming shapes
+SHAPES = [
+    ("text/coop n_cls=14", 14, 77, 512, 8, True),
+    ("temporal seg-axis", 512, 32, 256, 8, False),    # b=32 videos * l=16
+    ("temporal frame-axis", 1024, 16, 256, 8, False),  # b=32 videos * n=32
+    ("unfrozen B/16 b=256", 256, 197, 768, 12, False),
+]
+
+
+def _grad_step(attn_fn, q, k, v, num_heads, causal):
+    def loss(q_, k_, v_):
+        return jnp.sum(attn_fn(q_, k_, v_, num_heads, causal) ** 2)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    return dq + dk + dv
+
+
+@partial(jax.jit, static_argnames=("b", "l", "d", "h", "causal"))
+def _parity_err(key, b, l, d, h, causal):
+    """Max relative |fused bwd - XLA VJP| across dq/dk/dv, fp32, on device.
+    BOTH sides run under matmul precision "highest", exactly as production fp32
+    does (models/clip/model.py:matmul_precision_for wraps every caller):
+    ambient precision reaches the kernel's dots at trace time. TPU's default
+    fp32 matmul uses bf16 passes — with defaults on either side the comparison
+    measures that noise (measured 1.1e-4 kernel-default vs XLA-default,
+    2.9e-3 kernel-default vs XLA-highest), not the kernel."""
+    ks = jax.random.split(key, 4)
+    q, k, v, g = (jax.random.normal(ks[i], (b, l, d), jnp.float32) for i in range(4))
+    with jax.default_matmul_precision("highest"):
+        dq, dk, dv = _mha_bld_bwd_impl(q, k, v, g, h, causal, False)
+        _, vjp = jax.vjp(lambda a, b_, c: _xla_mha_bld(a, b_, c, h, causal), q, k, v)
+        rq, rk, rv = vjp(g)
+    scale = jnp.maximum(
+        jnp.abs(rq).max(), jnp.maximum(jnp.abs(rk).max(), jnp.abs(rv).max())
+    )
+    err = jnp.maximum(
+        jnp.abs(dq - rq).max(),
+        jnp.maximum(jnp.abs(dk - rk).max(), jnp.abs(dv - rv).max()),
+    )
+    return err / scale
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    args = ap.parse_args()
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform}:{dev.device_kind}", flush=True)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    itemsize = 2 if args.dtype == "bf16" else 4
+
+    for label, b, l, d, h, causal in SHAPES:
+        if not mha_bwd_eligible(b, l, d, h, itemsize):
+            print(f"{label:22s} (B={b:4d} L={l} D={d}): bwd-ineligible, skipped",
+                  flush=True)
+            continue
+
+        err = float(_parity_err(jax.random.PRNGKey(0), b, l, d, h, causal))
+        assert err < 2e-5, f"{label}: hardware bwd parity {err:.2e}"
+        print(f"{label:22s} (B={b:4d} L={l} D={d}): fp32 parity {err:.1e}",
+              flush=True)
+
+        key = jax.random.PRNGKey(1)
+        q, k, v = (
+            jax.random.normal(k_, (b, l, d)).astype(dtype)
+            for k_ in jax.random.split(key, 3)
+        )
+        fused_ms = carry_bench(
+            lambda q_, k_, v_: _grad_step(fused_mha_bld, q_, k_, v_, h, causal),
+            q, k, v, iters=args.iters,
+        )
+        xla_ms = carry_bench(
+            lambda q_, k_, v_: _grad_step(_xla_mha_bld, q_, k_, v_, h, causal),
+            q, k, v, iters=args.iters,
+        )
+        print(
+            f"{label:22s} (B={b:4d} L={l} D={d} {args.dtype}): "
+            f"fwd+bwd fused {fused_ms:7.3f} ms  vs XLA-recompute {xla_ms:7.3f} ms "
+            f"({xla_ms / fused_ms:4.2f}x)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

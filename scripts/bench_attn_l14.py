@@ -384,7 +384,16 @@ def main() -> None:
     ap.add_argument("--tower", action="store_true", help="whole-tower ablation")
     ap.add_argument("--arch", default="l14@336", choices=("l14", "l14@336"),
                     help="tower for --tower (isolated variants are @336-only)")
+    ap.add_argument("--seq", type=int, default=0,
+                    help="override L for the isolated variants — the "
+                         "lane-alignment ablation (VERDICT r4 item 5): run the "
+                         "same B/D/dh at a synthetic lane-aligned L (576/640) "
+                         "to split the prime-L=577 tax from the softmax residue")
     args = ap.parse_args()
+
+    if args.seq:
+        global L
+        L = args.seq
 
     if args.tower:
         tower_ablation(max(5, args.iters // 3), args.arch)

@@ -7,7 +7,12 @@ B/16 headline and the L/14 tower also gain from batch groups past their 12MB
 estimated budget? This sweeps gb at the two production shapes, carry-chained,
 numerics checked vs the XLA formulation.
 
-Usage: python scripts/probe_qkv_gb.py [b16|l14] [gb ...]
+Usage: python scripts/probe_qkv_gb.py [b16|l14] [fp32|bf16] [gb ...]
+
+The fp32 mode (round 5, VERDICT r4 item 6) answers whether the raised 19MB
+budget should extend to itemsize==4: fp32 is the checkpoint-parity compute
+mode, and its footprints double — e.g. L/14 gb=2 estimates 17.9MB fp32, the
+same footprint as the bf16 (32, 448) shape that hard-crashes Mosaic.
 """
 import functools
 import math
@@ -67,15 +72,21 @@ def bench(fn, qkv, iters=40):
 
 def main():
     shape = SHAPES[sys.argv[1] if len(sys.argv) > 1 else "b16"]
-    gbs = [int(a) for a in sys.argv[2:]] or [4, 8]
+    rest = sys.argv[2:]
+    dtype = jnp.bfloat16
+    if rest and rest[0] in ("fp32", "bf16"):
+        dtype = jnp.float32 if rest[0] == "fp32" else jnp.bfloat16
+        rest = rest[1:]
+    gbs = [int(a) for a in rest] or [4, 8]
     b, l, d, h, causal = shape
+    itemsize = jnp.dtype(dtype).itemsize
     rng = np.random.default_rng(0)
-    qkv = jnp.asarray(rng.standard_normal((b, l, 3 * d)) * 0.02, jnp.bfloat16)
+    qkv = jnp.asarray(rng.standard_normal((b, l, 3 * d)) * 0.02, dtype)
     want = np.asarray(
         A._xla_mha_bld(qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :], h, causal)
     ).astype(np.float32)
-    print(f"shape B={b} L={l} D={d} H={h} causal={causal}; "
-          f"shipped gb={A._pick_gb(b, l, d, 2)}")
+    print(f"shape B={b} L={l} D={d} H={h} causal={causal} dtype={jnp.dtype(dtype).name}; "
+          f"shipped gb={A._pick_gb(b, l, d, itemsize)}")
     for gb in gbs:
         for limit in (None, LIMIT):
             tag = "default-16MB" if limit is None else "limit-64MB"

@@ -311,3 +311,144 @@ def test_per_head_kernel_routes_degenerate_groups(monkeypatch):
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(real_xla(q, k, v, True)),
                                rtol=1e-5, atol=1e-5)
     assert xla_calls, "causal degenerate shape must take the XLA fallback"
+
+
+# ---------------------------------------------------------------------------
+# Fused whole-block BACKWARD (VERDICT r4 item 2): Pallas dq/dk/dv vs XLA VJP
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "b,l,d,h,causal",
+    [
+        (14, 77, 512, 8, True),    # CoOp prompt-learning text tower (n_cls=14)
+        (32, 32, 256, 8, False),   # temporal axial: segment axis (b*l, n, emb)
+        (64, 16, 256, 8, False),   # temporal axial: frame axis (b*n, l, emb)
+        (4, 197, 768, 12, False),  # unfrozen-ViT-B/16 regime
+    ],
+)
+def test_fused_bwd_kernel_matches_xla_vjp_fp32(b, l, d, h, causal):
+    """The fused Pallas backward (scores recomputed in VMEM, softmax VJP) must
+    match autodiff through the XLA formulation at fp32 to ~1e-5 relative, at
+    the shapes the model actually differentiates (text L=77, temporal 32/16)
+    plus the unfrozen-encoder regime."""
+    from anomalyclip_tpu.ops.pallas.attention import (
+        _mha_bld_bwd_impl,
+        mha_bwd_eligible,
+    )
+
+    assert mha_bwd_eligible(b, l, d, h, 4)
+    rng = np.random.default_rng(11)
+    q, k, v, g = (
+        jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32) for _ in range(4)
+    )
+    dq, dk, dv = _mha_bld_bwd_impl(q, k, v, g, h, causal, True)
+
+    _, vjp = jax.vjp(lambda q_, k_, v_: _reference_mha_bld(q_, k_, v_, h, causal), q, k, v)
+    rq, rk, rv = vjp(g)
+    scale = max(float(jnp.abs(t).max()) for t in (rq, rk, rv))
+    for got, want, name in ((dq, rq, "dq"), (dk, rk, "dk"), (dv, rv, "dv")):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want),
+            rtol=1e-5, atol=1e-5 * scale, err_msg=name,
+        )
+
+
+def test_fused_qkv_bwd_kernel_matches_xla_vjp_fp32():
+    """The packed (B, L, 3D) backward writes dqkv directly; parity vs autodiff
+    through the reference at the text-tower shape."""
+    from anomalyclip_tpu.ops.pallas.attention import (
+        _mha_qkv_bwd_impl,
+        mha_bwd_eligible,
+    )
+
+    b, l, d, h = 14, 77, 512, 8
+    assert mha_bwd_eligible(b, l, d, h, 4)
+    rng = np.random.default_rng(12)
+    qkv = jnp.asarray(rng.standard_normal((b, l, 3 * d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    dqkv = _mha_qkv_bwd_impl(qkv, g, h, True, True)
+
+    def ref_fn(qkv_):
+        return _reference_mha_bld(
+            qkv_[..., :d], qkv_[..., d : 2 * d], qkv_[..., 2 * d :], h, causal=True
+        )
+
+    _, vjp = jax.vjp(ref_fn, qkv)
+    (want,) = vjp(g)
+    scale = float(jnp.abs(want).max())
+    np.testing.assert_allclose(
+        np.asarray(dqkv), np.asarray(want), rtol=1e-5, atol=1e-5 * scale
+    )
+
+
+def test_fused_attention_bwd_folds_heads_through_kernel():
+    """fused_attention's backward folds (B, H) into the kernel's batch axis;
+    grads must match autodiff through the split-head reference."""
+    from anomalyclip_tpu.ops.pallas.attention import fused_attention
+
+    rng = np.random.default_rng(13)
+    b, h, l, dh = 2, 8, 77, 64
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, l, dh)), jnp.float32)
+        for _ in range(3)
+    )
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, True, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, causal=True) ** 2)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_bwd_bf16_sane():
+    """bf16 inputs through the fused backward: fp32-accumulated, so agreement
+    with an fp32 reference is bf16-rounding-bounded."""
+    from anomalyclip_tpu.ops.pallas.attention import _mha_bld_bwd_impl
+
+    rng = np.random.default_rng(14)
+    b, l, d, h = 8, 77, 512, 8
+    qf, kf, vf, gf = (rng.standard_normal((b, l, d)).astype(np.float32) for _ in range(4))
+    dq, dk, dv = _mha_bld_bwd_impl(
+        jnp.asarray(qf, jnp.bfloat16), jnp.asarray(kf, jnp.bfloat16),
+        jnp.asarray(vf, jnp.bfloat16), jnp.asarray(gf, jnp.bfloat16),
+        h, False, True,
+    )
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _reference_mha_bld(q_, k_, v_, h, False),
+        jnp.asarray(qf), jnp.asarray(kf), jnp.asarray(vf),
+    )
+    rq, rk, rv = vjp(jnp.asarray(gf))
+    for got, want in ((dq, rq), (dk, rk), (dv, rv)):
+        scale = float(jnp.abs(want).max())
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want),
+            rtol=0.05, atol=0.05 * scale,
+        )
+
+
+def test_bwd_ineligible_shape_falls_back_to_xla():
+    """Past the L<=448 Mosaic envelope the custom VJP must route to the XLA
+    recompute and stay correct (the qtile forward + XLA backward pairing)."""
+    from anomalyclip_tpu.ops.pallas.attention import fused_mha_bld, mha_bwd_eligible
+
+    b, l, d, h = 1, 512, 64, 2
+    assert not mha_bwd_eligible(b, l, d, h, 4)
+    rng = np.random.default_rng(15)
+    q, k, v = (jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32) for _ in range(3))
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_mha_bld(q, k, v, h, False, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_mha_bld(q, k, v, h, causal=False) ** 2)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-4)
