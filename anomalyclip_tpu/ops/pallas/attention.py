@@ -617,10 +617,15 @@ def fused_mha_qtile(q, kv, num_heads: int, interpret: bool = False):
     BACKWARD: NO fused kernel — jax.vjp of the XLA formulation, which
     materializes the fp32 (B, H, L, L) score tensor in HBM (~21GB-scale is
     impossible, but at this kernel's L=577 production shape it is ~680MB at
-    B=32 and merely slow). Differentiating an unfrozen ViT-L/14@336 tower at
-    scale needs a flash-style dq/dk/dv with dk/dv accumulation across q tiles;
-    nothing in the supported model differentiates through this rung (the ViT
-    is frozen; the trainable text tower is L=77 whole-block)."""
+    B=32 and merely slow).
+
+    BACKWARD: a q-tiled fused Pallas kernel when the shape fits
+    (mha_qtile_bwd_eligible) — dq written per q-tile, dk|dv accumulated in an
+    fp32 VMEM scratch across the resident-KV q-tile sweep, no (B, H, L, L)
+    tensor in HBM. Otherwise jax.vjp of the XLA formulation (exact, but
+    materializes fp32 scores in HBM — nothing in the supported model
+    differentiates through this rung: the ViT is frozen, the trainable text
+    tower is L=77 whole-block)."""
     return _mha_qtile_impl(q, kv, num_heads, interpret)
 
 
@@ -628,9 +633,136 @@ def _mha_qtile_fwd(q, kv, num_heads, interpret):
     return _mha_qtile_impl(q, kv, num_heads, interpret), (q, kv)
 
 
+def _mha_qtile_bwd_kernel(
+    q_ref, kv_ref, g_ref, dq_ref, dkv_ref, acc_ref,
+    *, num_heads: int, scale: float, seq_len: int,
+):
+    """Backward over the q-tiled layout: grid (B/gb, n_q) with KV resident.
+
+    Per q-tile: complete softmax rows (no rescaling — KV is whole), the exact
+    softmax VJP for dq, and the tile's dk/dv contributions accumulated into an
+    fp32 scratch that is flushed to the dkv output block on the last tile.
+    Padded rows of the final partial q-tile are masked OUT of the dk/dv sums
+    (they would otherwise contribute garbage: block padding is undefined)."""
+    gb, lq, d = q_ref.shape
+    dh = d // num_heads
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # valid-row mask for the final partial tile (gb, lq, 1)
+    row = j * lq + jax.lax.broadcasted_iota(jnp.int32, (gb, lq, 1), 1)
+    valid = row < seq_len
+
+    for h in range(num_heads):
+        sq = slice(h * dh, (h + 1) * dh)
+        sk = slice(h * dh, (h + 1) * dh)
+        sv = slice(d + h * dh, d + (h + 1) * dh)
+        q = q_ref[:, :, sq]
+        k = kv_ref[:, :, sk]
+        v = kv_ref[:, :, sv]
+        g = g_ref[:, :, sq]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+        # padded q rows can hold undefined data: clamp before exp so p stays
+        # finite, then zero their contributions explicitly below
+        s = jnp.where(valid, s, 0.0)
+        m = jnp.max(s, axis=2, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=2, keepdims=True)
+        dp = jax.lax.dot_general(
+            g, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(p * dp, axis=2, keepdims=True)
+        ds = jnp.where(valid, p * (dp - delta) * scale, 0.0).astype(q.dtype)
+        pm = jnp.where(valid, p, 0.0).astype(v.dtype)
+        # zero padded q/g rows too: ds/pm are 0 there, but 0 * garbage
+        # (undefined block padding) would still poison the contractions
+        qm = jnp.where(valid, q, 0).astype(q.dtype)
+        gm = jnp.where(valid, g, 0).astype(g.dtype)
+        dq_ref[:, :, sq] = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype)
+        acc_ref[:, :, sk] += jax.lax.dot_general(  # dk contribution
+            ds, qm, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        acc_ref[:, :, sv] += jax.lax.dot_general(  # dv contribution
+            pm, gm, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _flush():
+        dkv_ref[...] = acc_ref[...].astype(dkv_ref.dtype)
+
+
+def _qtile_bwd_gb(b: int, l: int, d: int, itemsize: int) -> int:
+    """Batch group for the q-tiled backward. Working set per program: the
+    resident (g, L, 2D) kv block + the (g, L, 2D) dkv output + the fp32
+    (g, L, 2D) accumulator scratch, plus 3 double-buffered (g, lq, D) tiles
+    (q, g, dq) and ~3 fp32 (g, lq, L) score/dp/ds tensors for one head. The
+    conservative 20MB estimated budget admits gb=1 at the ViT-L/14@336 shape
+    (est. ~17MB) under the raised _QTILE_VMEM_LIMIT; larger groups wait for a
+    hardware sweep (scripts/bench_attn_bwd.py --qtile validates the compile +
+    parity on the chip)."""
+    lq = _qtile_lq(l)
+    for g in (4, 2, 1):
+        if b % g:
+            continue
+        resident = g * l * 2 * d * (2 * itemsize + 4)  # kv + dkv + fp32 acc
+        tiles = 3 * 2 * g * lq * d * itemsize
+        scratch = 3 * g * lq * l * 4
+        if resident + tiles + scratch <= 20 * 1024 * 1024:
+            return g
+    return 0
+
+
+def mha_qtile_bwd_eligible(b: int, l: int, d: int, num_heads: int, itemsize: int) -> bool:
+    """Static check for the q-tiled fused backward; ineligible shapes take the
+    XLA-recompute VJP."""
+    return d % num_heads == 0 and _qtile_bwd_gb(b, l, d, itemsize) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _mha_qtile_bwd_impl(q, kv, g, num_heads: int, interpret: bool):
+    b, l, d = q.shape
+    dh = d // num_heads
+    gb = _qtile_bwd_gb(b, l, d, q.dtype.itemsize)
+    lq = _qtile_lq(l)
+    if interpret and gb == 0:
+        gb = 1  # interpret mode executes on CPU: no VMEM constraint to honor
+    assert gb > 0, f"shape (B={b}, L={l}, D={d}) does not fit the q-tiled backward"
+    kern = functools.partial(
+        _mha_qtile_bwd_kernel, num_heads=num_heads, scale=1.0 / math.sqrt(dh),
+        seq_len=l,
+    )
+    q_spec = pl.BlockSpec((gb, lq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((gb, l, 2 * d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    dq, dkv = pl.pallas_call(
+        kern,
+        grid=(b // gb, pl.cdiv(l, lq)),
+        in_specs=[q_spec, kv_spec, q_spec],
+        out_specs=(q_spec, kv_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, l, d), q.dtype),
+            jax.ShapeDtypeStruct((b, l, 2 * d), kv.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((gb, l, 2 * d), jnp.float32)],
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=_QTILE_VMEM_LIMIT),
+    )(q, kv, g.astype(q.dtype))
+    return dq, dkv
+
+
 def _mha_qtile_bwd(num_heads, interpret, res, g):
     q, kv = res
-    d = q.shape[-1]
+    b, l, d = q.shape
+    if mha_qtile_bwd_eligible(b, l, d, num_heads, q.dtype.itemsize):
+        return _mha_qtile_bwd_impl(q, kv, g, num_heads, interpret)
     _, vjp = jax.vjp(
         lambda q_, kv_: _xla_mha_bld(q_, kv_[..., :d], kv_[..., d:], num_heads, False),
         q, kv,

@@ -35,9 +35,12 @@ from _bench_util import carry_bench  # noqa: E402
 
 from anomalyclip_tpu.ops.pallas.attention import (  # noqa: E402
     _mha_bld_bwd_impl,
+    _mha_qtile_bwd_impl,
     _xla_mha_bld,
     fused_mha_bld,
+    fused_mha_qtile,
     mha_bwd_eligible,
+    mha_qtile_bwd_eligible,
 )
 
 # (label, b, l, d, heads, causal) — the gradient-consuming shapes
@@ -82,16 +85,83 @@ def _parity_err(key, b, l, d, h, causal):
     return err / scale
 
 
+@partial(jax.jit, static_argnames=("b", "l", "d", "h"))
+def _qtile_parity_err(key, b, l, d, h):
+    """Same device-side parity reduction for the q-tiled backward."""
+    ks = jax.random.split(key, 3)
+    q = jax.random.normal(ks[0], (b, l, d), jnp.float32)
+    kv = jax.random.normal(ks[1], (b, l, 2 * d), jnp.float32)
+    g = jax.random.normal(ks[2], (b, l, d), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        dq, dkv = _mha_qtile_bwd_impl(q, kv, g, h, False)
+        _, vjp = jax.vjp(
+            lambda a, b_: _xla_mha_bld(a, b_[..., :d], b_[..., d:], h, False), q, kv
+        )
+        rq, rkv = vjp(g)
+    scale = jnp.maximum(jnp.abs(rq).max(), jnp.abs(rkv).max())
+    return jnp.maximum(jnp.abs(dq - rq).max(), jnp.abs(dkv - rkv).max()) / scale
+
+
+def bench_qtile(iters: int, dtype) -> None:
+    """The q-tiled backward at the ViT-L/14@336 shape: hardware parity + step
+    time of the fused vs XLA-recompute fwd+bwd."""
+    b, l, d, h = 32, 577, 1024, 16
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
+    if not mha_qtile_bwd_eligible(b, l, d, h, itemsize):
+        print(f"qtile L/14@336        (B={b} L={l} D={d}): bwd-ineligible, skipped",
+              flush=True)
+        return
+    err = float(_qtile_parity_err(jax.random.PRNGKey(0), b, l, d, h))
+    assert err < 2e-5, f"qtile hardware bwd parity {err:.2e}"
+    print(f"qtile L/14@336        (B={b} L={l} D={d}): fp32 parity {err:.1e}",
+          flush=True)
+
+    key = jax.random.PRNGKey(1)
+    kq, kkv = jax.random.split(key)
+    q = jax.random.normal(kq, (b, l, d)).astype(dtype)
+    kv = jax.random.normal(kkv, (b, l, 2 * d)).astype(dtype)
+
+    def step_fused(q_, kv_):
+        def loss(a, b_):
+            return jnp.sum(fused_mha_qtile(a, b_, h) ** 2)
+
+        dq, dkv = jax.grad(loss, argnums=(0, 1))(q_, kv_)
+        return dq + dkv[..., :d]
+
+    def step_xla(q_, kv_):
+        def loss(a, b_):
+            return jnp.sum(_xla_mha_bld(a, b_[..., :d], b_[..., d:], h, False) ** 2)
+
+        dq, dkv = jax.grad(loss, argnums=(0, 1))(q_, kv_)
+        return dq + dkv[..., :d]
+
+    fused_ms = carry_bench(step_fused, q, kv, iters=iters)
+    xla_ms = carry_bench(step_xla, q, kv, iters=iters)
+    name = "bf16" if dtype == jnp.bfloat16 else "fp32"
+    print(
+        f"qtile L/14@336        (B={b} L={l} D={d} {name}): "
+        f"fwd+bwd fused {fused_ms:7.3f} ms  vs XLA-recompute {xla_ms:7.3f} ms "
+        f"({xla_ms / fused_ms:4.2f}x)",
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--qtile", action="store_true",
+                    help="only the q-tiled backward at the L/14@336 shape")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
     print(f"# device: {dev.platform}:{dev.device_kind}", flush=True)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     itemsize = 2 if args.dtype == "bf16" else 4
+
+    if args.qtile:
+        bench_qtile(args.iters, dtype)
+        return
 
     for label, b, l, d, h, causal in SHAPES:
         if not mha_bwd_eligible(b, l, d, h, itemsize):

@@ -80,13 +80,18 @@ def main():
     gbs = [int(a) for a in rest] or [4, 8]
     b, l, d, h, causal = shape
     itemsize = jnp.dtype(dtype).itemsize
-    rng = np.random.default_rng(0)
-    qkv = jnp.asarray(rng.standard_normal((b, l, 3 * d)) * 0.02, dtype)
-    want = np.asarray(
-        A._xla_mha_bld(qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :], h, causal)
-    ).astype(np.float32)
     print(f"shape B={b} L={l} D={d} H={h} causal={causal} dtype={jnp.dtype(dtype).name}; "
-          f"shipped gb={A._pick_gb(b, l, d, itemsize)}")
+          f"shipped gb={A._pick_gb(b, l, d, itemsize)}", flush=True)
+    # generate on device (host->tunnel transfer of a (B, L, 3D) fp32 operand
+    # would dominate) and jit the reference (eager op-by-op over the remote
+    # tunnel pays a round-trip per op)
+    qkv = (jax.random.normal(jax.random.PRNGKey(0), (b, l, 3 * d)) * 0.02).astype(dtype)
+    want = np.asarray(
+        jax.jit(
+            lambda x: A._xla_mha_bld(x[..., :d], x[..., d : 2 * d], x[..., 2 * d :], h, causal)
+        )(qkv)
+    ).astype(np.float32)
+    print("reference computed", flush=True)
     for gb in gbs:
         for limit in (None, LIMIT):
             tag = "default-16MB" if limit is None else "limit-64MB"

@@ -452,3 +452,66 @@ def test_bwd_ineligible_shape_falls_back_to_xla():
     want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for gf, gr in zip(got, want):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "b,l,d,h",
+    [
+        (2, 577, 256, 4),  # partial final q tile (577 prime), the @336 regime
+        (2, 512, 256, 4),  # exact tiling
+    ],
+)
+def test_qtile_bwd_kernel_matches_xla_vjp_fp32(b, l, d, h):
+    """The q-tiled fused backward (dq per tile, dk|dv accumulated in fp32
+    scratch across the resident-KV sweep) vs autodiff through the reference.
+    The padded rows of the final partial tile must contribute nothing."""
+    from anomalyclip_tpu.ops.pallas.attention import (
+        _mha_qtile_bwd_impl,
+        mha_qtile_bwd_eligible,
+    )
+
+    assert mha_qtile_bwd_eligible(b, l, d, h, 4)
+    rng = np.random.default_rng(21)
+    q = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((b, l, 2 * d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    dq, dkv = _mha_qtile_bwd_impl(q, kv, g, h, True)
+
+    def ref_fn(q_, kv_):
+        return _reference_mha_bld(q_, kv_[..., :d], kv_[..., d:], h, causal=False)
+
+    _, vjp = jax.vjp(ref_fn, q, kv)
+    rq, rkv = vjp(g)
+    scale = max(float(jnp.abs(rq).max()), float(jnp.abs(rkv).max()))
+    np.testing.assert_allclose(
+        np.asarray(dq), np.asarray(rq), rtol=1e-5, atol=1e-5 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(dkv), np.asarray(rkv), rtol=1e-5, atol=1e-5 * scale
+    )
+
+
+def test_fused_mha_qtile_grad_routes_through_kernel():
+    """jax.grad through fused_mha_qtile takes the fused backward on eligible
+    shapes and still matches autodiff through the reference."""
+    from anomalyclip_tpu.ops.pallas.attention import (
+        fused_mha_qtile,
+        mha_qtile_bwd_eligible,
+    )
+
+    b, l, d, h = 2, 300, 128, 2
+    assert mha_qtile_bwd_eligible(b, l, d, h, 4)
+    rng = np.random.default_rng(22)
+    q = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((b, l, 2 * d)), jnp.float32)
+
+    def loss_fused(q_, kv_):
+        return jnp.sum(fused_mha_qtile(q_, kv_, h, True) ** 2)
+
+    def loss_ref(q_, kv_):
+        return jnp.sum(_reference_mha_bld(q_, kv_[..., :d], kv_[..., d:], h) ** 2)
+
+    got = jax.grad(loss_fused, argnums=(0, 1))(q, kv)
+    want = jax.grad(loss_ref, argnums=(0, 1))(q, kv)
+    for gf, gr in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-4)
