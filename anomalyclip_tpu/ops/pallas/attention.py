@@ -788,7 +788,8 @@ fused_mha_qtile.defvjp(_mha_qtile_fwd, _mha_qtile_bwd)
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, s_ref, *, scale: float, seq_len: int
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, s_ref,
+    *, scale: float, seq_len: int,
 ):
     g, lq, dh = q_ref.shape
     lkv = k_ref.shape[1]
@@ -826,6 +827,9 @@ def _flash_kernel(
     @pl.when(k_step == pl.num_programs(2) - 1)
     def _finish():
         o_ref[...] = (acc_ref[...] / s_ref[:, :, :1]).astype(o_ref.dtype)
+        # log-sum-exp per row: the backward's residual (p = exp(s - lse) is the
+        # exact softmax without re-running the online rescaling)
+        lse_ref[...] = m_ref[:, :, 0] + jnp.log(s_ref[:, :, 0])
 
 
 _FLASH_LQ = 256
@@ -840,6 +844,9 @@ def flash_eligible(n: int, l: int, dh: int, itemsize: int) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _flash_impl(q, k, v, interpret: bool):
+    """-> (out (N, L, dh), lse (N, L) fp32). The lse output costs one extra
+    O(N*L) HBM write against the kernel's O(N*L^2) compute and feeds the
+    KV-blocked backward its exact softmax normalizer."""
     n, l, dh = q.shape
     g = 1
     lq, lkv = min(_FLASH_LQ, l), min(_FLASH_LKV, l)
@@ -852,10 +859,14 @@ def _flash_impl(q, k, v, interpret: bool):
             pl.BlockSpec((g, lkv, dh), lambda i, j, k: (i, k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, lkv, dh), lambda i, j, k: (i, k, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (g, lq, dh), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec((g, lq, dh), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, lq), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((n, l, dh), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, l, dh), q.dtype),
+            jax.ShapeDtypeStruct((n, l), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((g, lq, dh), jnp.float32),   # acc
             pltpu.VMEM((g, lq, 128), jnp.float32),  # running max (lane 0)
@@ -865,33 +876,180 @@ def _flash_impl(q, k, v, interpret: bool):
     )(q, k, v)
 
 
+def _flash_dq_kernel(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, acc_ref,
+    *, scale: float, seq_len: int,
+):
+    """dq pass: grid (N, n_q, n_kv), KV innermost. The q/g/lse/delta blocks and
+    the fp32 dq accumulator stay resident across the KV sweep; p is rebuilt
+    exactly from the forward's saved log-sum-exp (no online rescaling)."""
+    g_, lq, dh = q_ref.shape
+    lkv = k_ref.shape[1]
+    k_step = pl.program_id(2)
+
+    @pl.when(k_step == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    s_blk = jax.lax.dot_general(
+        q_ref[...], k_ref[...], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    col = k_step * lkv + jax.lax.broadcasted_iota(jnp.int32, (g_, lq, lkv), 2)
+    s_blk = jnp.where(col < seq_len, s_blk, NEG_INF)
+    p = jnp.exp(s_blk - lse_ref[...][:, :, None])  # exact softmax rows
+    krow = k_step * lkv + jax.lax.broadcasted_iota(jnp.int32, k_ref.shape, 1)
+    vm = jnp.where(krow < seq_len, v_ref[...], 0).astype(v_ref.dtype)
+    km = jnp.where(krow < seq_len, k_ref[...], 0).astype(k_ref.dtype)
+    dp = jax.lax.dot_general(
+        g_ref[...], vm, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - delta_ref[...][:, :, None]) * scale).astype(q_ref.dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        ds, km, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k_step == pl.num_programs(2) - 1)
+    def _finish():
+        dq_ref[...] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(
+    k_ref, v_ref, q_ref, g_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, scale: float, seq_len: int,
+):
+    """dk/dv pass: grid (N, n_kv, n_q), Q innermost. The k/v blocks and the
+    fp32 dk/dv accumulators stay resident across the q sweep; padded q rows
+    are masked out of every contraction (p/ds zeroed AND the q/g operands
+    zeroed — 0 * undefined block padding still poisons the sums)."""
+    g_, lkv, dh = k_ref.shape
+    lq = q_ref.shape[1]
+    j_kv = pl.program_id(1)
+    q_step = pl.program_id(2)
+
+    @pl.when(q_step == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    row = q_step * lq + jax.lax.broadcasted_iota(jnp.int32, (g_, lq, 1), 1)
+    rvalid = row < seq_len
+    qm = jnp.where(rvalid, q_ref[...], 0).astype(q_ref.dtype)
+    gm = jnp.where(rvalid, g_ref[...], 0).astype(g_ref.dtype)
+
+    s_blk = jax.lax.dot_general(
+        qm, k_ref[...], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    col = j_kv * lkv + jax.lax.broadcasted_iota(jnp.int32, (g_, lq, lkv), 2)
+    s_blk = jnp.where(col < seq_len, s_blk, NEG_INF)
+    # padded q rows carry garbage lse (trimmed in the forward's output): build
+    # p/ds through where() so their NaN/inf never reaches the accumulators
+    p = jnp.where(rvalid, jnp.exp(s_blk - lse_ref[...][:, :, None]), 0.0)
+    dp = jax.lax.dot_general(
+        gm, v_ref[...], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    ds = jnp.where(
+        rvalid, p * (dp - delta_ref[...][:, :, None]) * scale, 0.0
+    ).astype(q_ref.dtype)
+    dk_acc[...] += jax.lax.dot_general(
+        ds, qm, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(v_ref.dtype), gm, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(q_step == pl.num_programs(2) - 1)
+    def _finish():
+        dk_ref[...] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_acc[...].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _flash_bwd_impl(q, k, v, g, lse, interpret: bool):
+    """KV-blocked backward: two passes (dq with KV innermost, dk/dv with Q
+    innermost — each pass's fp32 accumulators live in VMEM while its outer
+    block is resident), per-program VMEM independent of L like the forward.
+
+    delta = rowsum(p∘dp) needs the FULL row, which a blocked pass never sees
+    at once — but it equals rowsum(g∘o), so o is recomputed through the
+    forward kernel (one extra O(L²) sweep, the standard flash-backward trade)
+    and delta reduced in one elementwise XLA pass over (N, L, dh)."""
+    n, l, dh = q.shape
+    gsz = 1
+    lq, lkv = min(_FLASH_LQ, l), min(_FLASH_LKV, l)
+    scale = 1.0 / math.sqrt(dh)
+
+    # delta needs o; recompute it through the forward kernel (cheap relative to
+    # the backward's two full sweeps and keeps residuals at q/k/v/lse only)
+    o, _ = _flash_impl(q, k, v, interpret)
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    row_spec = pl.BlockSpec((gsz, lq, dh), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((gsz, lkv, dh), lambda i, j, kk: (i, kk, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((gsz, lq), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, scale=scale, seq_len=l),
+        grid=(n // gsz, pl.cdiv(l, lq), pl.cdiv(l, lkv)),
+        in_specs=[row_spec, kv_spec, kv_spec, row_spec, vec_spec, vec_spec],
+        out_specs=pl.BlockSpec(
+            (gsz, lq, dh), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, l, dh), q.dtype),
+        scratch_shapes=[pltpu.VMEM((gsz, lq, dh), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, g, lse, delta)
+
+    # dkv pass: grid dims (i, kv-block, q-step)
+    kvb_spec = pl.BlockSpec((gsz, lkv, dh), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM)
+    qb_spec = pl.BlockSpec((gsz, lq, dh), lambda i, j, kk: (i, kk, 0), memory_space=pltpu.VMEM)
+    vecb_spec = pl.BlockSpec((gsz, lq), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, scale=scale, seq_len=l),
+        grid=(n // gsz, pl.cdiv(l, lkv), pl.cdiv(l, lq)),
+        in_specs=[kvb_spec, kvb_spec, qb_spec, qb_spec, vecb_spec, vecb_spec],
+        out_specs=(kvb_spec, kvb_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, l, dh), k.dtype),
+            jax.ShapeDtypeStruct((n, l, dh), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((gsz, lkv, dh), jnp.float32),
+            pltpu.VMEM((gsz, lkv, dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )(k, v, q, g, lse, delta)
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention_heads(q, k, v, interpret: bool = False):
     """Exact attention over per-head (BH, L, dh) operands with KV-blocked online
     softmax — no sequence-length cap (VMEM use is independent of L). Non-causal
     (the only long-L consumer is the vision tower).
 
-    BACKWARD: NO fused kernel — jax.vjp of the XLA formulation, which
-    materializes the fp32 (BH, L, L) score tensor in HBM. At the unbounded
-    sequence lengths this forward exists for, that can exceed HBM outright:
-    training through this rung requires a KV-blocked backward (running
-    dk/dv accumulators per KV block). No supported model differentiates
-    through it (frozen vision tower only)."""
-    return _flash_impl(q, k, v, interpret)
+    BACKWARD: KV-blocked fused Pallas kernels — a dq pass (KV innermost, fp32
+    dq accumulator resident) and a dk/dv pass (Q innermost, fp32 accumulators
+    resident), p rebuilt exactly from the forward's saved log-sum-exp. Like
+    the forward, per-program VMEM is independent of L, so training through
+    this rung never materializes the (BH, L, L) score tensor the XLA VJP
+    would need (which can exceed HBM outright at the lengths this kernel
+    exists for)."""
+    out, _ = _flash_impl(q, k, v, interpret)
+    return out
 
 
 def _flash_fwd(q, k, v, interpret):
-    return _flash_impl(q, k, v, interpret), (q, k, v)
+    out, lse = _flash_impl(q, k, v, interpret)
+    return out, (q, k, v, lse)
 
 
 def _flash_bwd(interpret, res, g):
-    q, k, v = res
-
-    def ref_fn(q_, k_, v_):
-        return _xla_attention(q_[:, None], k_[:, None], v_[:, None], False)[:, 0]
-
-    _, vjp = jax.vjp(ref_fn, q, k, v)
-    return vjp(g)
+    q, k, v, lse = res
+    return _flash_bwd_impl(q, k, v, g.astype(q.dtype), lse, interpret)
 
 
 flash_attention_heads.defvjp(_flash_fwd, _flash_bwd)

@@ -515,3 +515,33 @@ def test_fused_mha_qtile_grad_routes_through_kernel():
     want = jax.grad(loss_ref, argnums=(0, 1))(q, kv)
     for gf, gr in zip(got, want):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-4)
+
+
+def test_flash_bwd_multiblock_matches_xla_vjp_fp32():
+    """The KV-blocked backward across MULTIPLE q and kv blocks with partial
+    tails (L=1100: 5 q-tiles of 256 + 3 kv-blocks of 512, both ragged) —
+    dq accumulation over kv, dk/dv accumulation over q, lse-exact p rebuild."""
+    from anomalyclip_tpu.ops.pallas.attention import flash_attention_heads
+
+    rng = np.random.default_rng(31)
+    n, l, dh = 1, 1100, 32
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((n, l, dh)), jnp.float32) for _ in range(3)
+    )
+    gout = jnp.asarray(rng.standard_normal((n, l, dh)), jnp.float32)
+
+    out, vjp = jax.vjp(lambda a, b, c: flash_attention_heads(a, b, c, True), q, k, v)
+    dq, dk, dv = vjp(gout)
+
+    ref_out, ref_vjp = jax.vjp(
+        lambda a, b, c: _reference_attention(a[:, None], b[:, None], c[:, None], False)[:, 0],
+        q, k, v,
+    )
+    rq, rk, rv = ref_vjp(gout)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=1e-5, atol=1e-5)
+    scale = max(float(jnp.abs(t).max()) for t in (rq, rk, rv))
+    for got, want, name in ((dq, rq, "dq"), (dk, rk, "dk"), (dv, rv, "dv")):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want),
+            rtol=1e-5, atol=1e-5 * scale, err_msg=name,
+        )
