@@ -129,10 +129,21 @@ def _pick_gb(b: int, l: int, d: int, itemsize: int) -> int:
     budget, where it is needed to compile at all; see _whole_block_params).
     Per-shape validation:
     scripts/validate_pickgb.py — which sweeps bf16 only, so the raised budget
-    is additionally gated on itemsize==2: float32 configs stay on the
-    hardware-proven 12MB selections rather than inherit an unvalidated
-    compile (a 17.9MB fp32 estimate is the same footprint as the bf16
-    (32, 448) shape that hard-crashes Mosaic)."""
+    is additionally gated on itemsize==2. The fp32 sweep
+    (scripts/probe_qkv_gb.py {l14,b16} fp32, v5e round 5) proves the gate
+    right rather than merely cautious: at the L/14 shape the gb=2 the raised
+    budget would newly admit (est. 17.9MB fp32) is a measured REGRESSION —
+    1.90 ms/layer (1.88 under a 64MB cap) vs the shipped gb=1's 1.81 — and
+    at the B/16 shape the raised budget admits nothing new (gb=4 estimates
+    20.6MB fp32 > 19MB). The fastest fp32 configs at both shapes (L/14 gb=4
+    1.70, B/16 gb=4 3.02) hard-crash the default-cap compile and need
+    vmem_limit_bytes=64MB plus a ~36MB budget class with no other validated
+    member; fp32 is the checkpoint-parity eval mode, not a throughput path,
+    and isolated wins of 3-6% compose to well under 1% in-tower (cf. the
+    bf16 L/14 case: -38% isolated -> +1.5% end-to-end), so the shipped
+    selections stay on the hardware-proven 12MB budget — where both
+    production fp32 configs (L/14 gb=1, B/16 gb=2) compile at the default
+    cap and validate to max|Δ| <= 2e-5."""
     raised = l <= 288 and itemsize == 2
     budget = 19 * 1024 * 1024 if raised else 12 * 1024 * 1024
     return _pick_group(b, l, d, itemsize, budget)
@@ -613,11 +624,6 @@ def fused_mha_qtile(q, kv, num_heads: int, interpret: bool = False):
     over a grid with the K|V block resident in VMEM; softmax in fp32. For
     sequences past the whole-block kernels' VMEM cap. Non-causal only (the only
     long-L consumer is the vision tower; the causal text stack is L=77).
-
-    BACKWARD: NO fused kernel — jax.vjp of the XLA formulation, which
-    materializes the fp32 (B, H, L, L) score tensor in HBM (~21GB-scale is
-    impossible, but at this kernel's L=577 production shape it is ~680MB at
-    B=32 and merely slow).
 
     BACKWARD: a q-tiled fused Pallas kernel when the shape fits
     (mha_qtile_bwd_eligible) — dq written per q-tile, dk|dv accumulated in an
