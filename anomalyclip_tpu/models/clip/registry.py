@@ -61,6 +61,16 @@ def sha256_file(path: Path, chunk: int = 1 << 20) -> str:
     return h.hexdigest()
 
 
+def _checkpoint_filename(arch: str) -> str:
+    """Cache filename for ``arch`` — the release URL's basename when one is
+    pinned, so files live exactly where the reference's clip.load puts them
+    (clip.py:91: basename of the URL; e.g. ViT-L/14@336px -> ViT-L-14-336px.pt,
+    NOT ViT-L-14@336px.pt)."""
+    if arch in _MODELS:
+        return _MODELS[arch].split("/")[-1]
+    return arch.replace("/", "-") + ".pt"
+
+
 def download_clip(arch: str, root: Optional[Path] = None, timeout: int = 60) -> Path:
     """Download ``arch``'s OpenAI checkpoint into the reference's cache location
     with SHA256 verification (clip.py:83-105's contract via stdlib urllib).
@@ -74,7 +84,7 @@ def download_clip(arch: str, root: Optional[Path] = None, timeout: int = 60) -> 
     expected = url.split("/")[-2]
     root = root or (Path.home() / ".cache" / "clip")
     root.mkdir(parents=True, exist_ok=True)
-    target = root / (arch.replace("/", "-") + ".pt")
+    target = root / _checkpoint_filename(arch)
     if target.is_file() and sha256_file(target) == expected:
         return target
     tmp = target.with_suffix(".pt.partial")
@@ -99,11 +109,11 @@ def available_models() -> list:
 
 
 def _cache_candidates(arch: str) -> list:
-    fname = arch.replace("/", "-") + ".pt"
-    return [
-        Path.home() / ".cache" / "clip" / fname,
-        Path("/usr/src/app/.cache/clip") / fname,
-    ]
+    # URL-basename first (the reference's clip.load layout), then the literal
+    # arch name as a legacy spelling (earlier builds wrote e.g. ViT-L-14@336px.pt)
+    names = list(dict.fromkeys([_checkpoint_filename(arch), arch.replace("/", "-") + ".pt"]))
+    roots = [Path.home() / ".cache" / "clip", Path("/usr/src/app/.cache/clip")]
+    return [root / n for root in roots for n in names]
 
 
 def resolve_clip(
@@ -130,8 +140,22 @@ def resolve_clip(
     for path in candidates:
         if path.is_file():
             return load_torch_clip_checkpoint(path)
+
+    # Step 3: self-bootstrap from the SHA256-pinned release URL — the
+    # reference's download-on-demand behavior (clip.py:108-130). Opt out with
+    # ANOMALYCLIP_NO_DOWNLOAD=1 (air-gapped hosts where the DNS/socket timeout
+    # is worth skipping); a zero-egress host fails fast and falls through to
+    # the FileNotFoundError below with the download error attached.
+    download_err = None
+    if arch in _MODELS and not os.environ.get("ANOMALYCLIP_NO_DOWNLOAD"):
+        try:
+            return load_torch_clip_checkpoint(download_clip(arch))
+        except Exception as e:  # noqa: BLE001 — no egress / proxy / disk errors
+            download_err = e
     raise FileNotFoundError(
         f"No CLIP checkpoint found for {arch}. Provide model.net.clip_ckpt_path or "
         f"set CLIP_CKPT_PATH, or use model.net.clip_init=random-full for random "
         f"weights. Searched: {[str(c) for c in candidates]}"
+        + (f"; download attempt failed: {type(download_err).__name__}: {download_err}"
+           if download_err is not None else "")
     )

@@ -24,15 +24,19 @@ Numerics: scores accumulate in fp32 on the MXU; softmax subtracts the row max
 happens on the (gb, L, Dh) output, not the (gb, L, L) weights. This matches the
 XLA path to ~1e-5 in fp32 and ~5e-2 in bf16 (tests/test_pallas_attention.py).
 
-Gradient support: the whole-block kernels (``fused_mha_bld``, ``fused_mha_qkv``,
-``fused_attention``) ship a fused Pallas BACKWARD — scores/softmax recomputed
-per head in VMEM, exact dq/dk/dv via the softmax VJP, no (B, H, L, L) tensor in
-HBM (see the backward section below). Shapes outside mha_bwd_eligible, and the
-long-sequence kernels (``fused_mha_qtile``, ``flash_attention_heads``), fall
-back to jax.vjp of the XLA formulation, which does materialize fp32 scores in
-HBM on the backward — each entry point's docstring states its backward path.
-The production gradient consumers (CoOp text tower L=77, temporal grid L=32/16,
-reference: src/models/components/coop.py:49) all take the fused backward.
+Gradient support: every kernel family ships a fused Pallas BACKWARD on its
+supported shapes. The whole-block kernels (``fused_mha_bld``, ``fused_mha_qkv``,
+``fused_attention``) recompute scores/softmax per head in VMEM and emit exact
+dq/dk/dv via the softmax VJP (mha_bwd_eligible mirrors the forward envelope);
+``fused_mha_qtile`` accumulates dk|dv across its resident-KV q-tile sweep
+(mha_qtile_bwd_eligible); ``flash_attention_heads`` runs KV-blocked dq and
+dk/dv passes whose VMEM is independent of L (no length cap). None materialize
+a (B, H, L, L) tensor in HBM. Only shapes outside every fused-backward
+envelope fall back to jax.vjp of the XLA formulation (which does materialize
+fp32 scores in HBM) — each entry point's docstring states its exact backward
+path. The production gradient consumers (CoOp text tower L=77, temporal grid
+L=32/16, reference: src/models/components/coop.py:49) all take the
+whole-block fused backward.
 
 ``fused_attention`` (q, k, v already split into (B, H, L, Dh)) remains for callers
 that hold per-head tensors; it shares the same in-VMEM softmax design.
@@ -794,9 +798,13 @@ fused_mha_qtile.defvjp(_mha_qtile_fwd, _mha_qtile_bwd)
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, s_ref,
-    *, scale: float, seq_len: int,
+    q_ref, k_ref, v_ref, o_ref, *rest,
+    scale: float, seq_len: int, save_lse: bool,
 ):
+    if save_lse:
+        lse_ref, acc_ref, m_ref, s_ref = rest
+    else:
+        lse_ref, (acc_ref, m_ref, s_ref) = None, rest
     g, lq, dh = q_ref.shape
     lkv = k_ref.shape[1]
     k_step = pl.program_id(2)
@@ -833,9 +841,17 @@ def _flash_kernel(
     @pl.when(k_step == pl.num_programs(2) - 1)
     def _finish():
         o_ref[...] = (acc_ref[...] / s_ref[:, :, :1]).astype(o_ref.dtype)
-        # log-sum-exp per row: the backward's residual (p = exp(s - lse) is the
-        # exact softmax without re-running the online rescaling)
-        lse_ref[...] = m_ref[:, :, 0] + jnp.log(s_ref[:, :, 0])
+        if save_lse:
+            # log-sum-exp per row: the backward's residual (p = exp(s - lse)
+            # is the exact softmax without re-running the online rescaling).
+            # Broadcast across the 128-lane trailing dim: Mosaic requires
+            # output blocks' last two dims (8, 128)-aligned, so a 2D (N, L)
+            # residual with a (1, lq) block cannot lower — the (N, L, 128)
+            # layout is the same one
+            # jax.experimental.pallas.ops.tpu.flash_attention uses for l/m
+            lse_ref[...] = jnp.broadcast_to(
+                m_ref[:, :, :1] + jnp.log(s_ref[:, :, :1]), lse_ref.shape
+            )
 
 
 _FLASH_LQ = 256
@@ -848,15 +864,24 @@ def flash_eligible(n: int, l: int, dh: int, itemsize: int) -> bool:
     return dh <= 256 and l >= 2
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _flash_impl(q, k, v, interpret: bool):
-    """-> (out (N, L, dh), lse (N, L) fp32). The lse output costs one extra
-    O(N*L) HBM write against the kernel's O(N*L^2) compute and feeds the
-    KV-blocked backward its exact softmax normalizer."""
+@functools.partial(jax.jit, static_argnames=("interpret", "save_lse"))
+def _flash_impl(q, k, v, interpret: bool, save_lse: bool = False):
+    """-> out (N, L, dh), or (out, lse) with ``save_lse`` — the differentiated
+    path's residual. lse is (N, L, 128) fp32, lane-broadcast: Mosaic's
+    (8, 128) output-block alignment rule rejects a 2D (N, L) residual with a
+    (1, lq) block, so it rides in the same layout the reference JAX TPU flash
+    kernel uses for its l/m residuals. The primal/inference path skips the
+    write entirely (one O(N*L*128) HBM stream it never needs)."""
     n, l, dh = q.shape
     g = 1
     lq, lkv = min(_FLASH_LQ, l), min(_FLASH_LKV, l)
-    kern = functools.partial(_flash_kernel, scale=1.0 / math.sqrt(dh), seq_len=l)
+    kern = functools.partial(
+        _flash_kernel, scale=1.0 / math.sqrt(dh), seq_len=l, save_lse=save_lse
+    )
+    o_spec = pl.BlockSpec((g, lq, dh), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((g, lq, 128), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM)
+    o_shape = jax.ShapeDtypeStruct((n, l, dh), q.dtype)
+    lse_shape = jax.ShapeDtypeStruct((n, l, 128), jnp.float32)
     return pl.pallas_call(
         kern,
         grid=(n // g, pl.cdiv(l, lq), pl.cdiv(l, lkv)),
@@ -865,14 +890,8 @@ def _flash_impl(q, k, v, interpret: bool):
             pl.BlockSpec((g, lkv, dh), lambda i, j, k: (i, k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, lkv, dh), lambda i, j, k: (i, k, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((g, lq, dh), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, lq), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, l, dh), q.dtype),
-            jax.ShapeDtypeStruct((n, l), jnp.float32),
-        ),
+        out_specs=(o_spec, lse_spec) if save_lse else o_spec,
+        out_shape=(o_shape, lse_shape) if save_lse else o_shape,
         scratch_shapes=[
             pltpu.VMEM((g, lq, dh), jnp.float32),   # acc
             pltpu.VMEM((g, lq, 128), jnp.float32),  # running max (lane 0)
@@ -903,7 +922,7 @@ def _flash_dq_kernel(
     ) * scale
     col = k_step * lkv + jax.lax.broadcasted_iota(jnp.int32, (g_, lq, lkv), 2)
     s_blk = jnp.where(col < seq_len, s_blk, NEG_INF)
-    p = jnp.exp(s_blk - lse_ref[...][:, :, None])  # exact softmax rows
+    p = jnp.exp(s_blk - lse_ref[:, :, :1])  # exact softmax rows (lse lane 0)
     krow = k_step * lkv + jax.lax.broadcasted_iota(jnp.int32, k_ref.shape, 1)
     vm = jnp.where(krow < seq_len, v_ref[...], 0).astype(v_ref.dtype)
     km = jnp.where(krow < seq_len, k_ref[...], 0).astype(k_ref.dtype)
@@ -911,7 +930,7 @@ def _flash_dq_kernel(
         g_ref[...], vm, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    ds = (p * (dp - delta_ref[...][:, :, None]) * scale).astype(q_ref.dtype)
+    ds = (p * (dp - delta_ref[:, :, :1]) * scale).astype(q_ref.dtype)
     acc_ref[...] += jax.lax.dot_general(
         ds, km, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
@@ -952,13 +971,13 @@ def _flash_dkv_kernel(
     s_blk = jnp.where(col < seq_len, s_blk, NEG_INF)
     # padded q rows carry garbage lse (trimmed in the forward's output): build
     # p/ds through where() so their NaN/inf never reaches the accumulators
-    p = jnp.where(rvalid, jnp.exp(s_blk - lse_ref[...][:, :, None]), 0.0)
+    p = jnp.where(rvalid, jnp.exp(s_blk - lse_ref[:, :, :1]), 0.0)
     dp = jax.lax.dot_general(
         gm, v_ref[...], (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     ds = jnp.where(
-        rvalid, p * (dp - delta_ref[...][:, :, None]) * scale, 0.0
+        rvalid, p * (dp - delta_ref[:, :, :1]) * scale, 0.0
     ).astype(q_ref.dtype)
     dk_acc[...] += jax.lax.dot_general(
         ds, qm, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -975,28 +994,30 @@ def _flash_dkv_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _flash_bwd_impl(q, k, v, g, lse, interpret: bool):
+def _flash_bwd_impl(q, k, v, g, lse, o, interpret: bool):
     """KV-blocked backward: two passes (dq with KV innermost, dk/dv with Q
     innermost — each pass's fp32 accumulators live in VMEM while its outer
     block is resident), per-program VMEM independent of L like the forward.
 
     delta = rowsum(p∘dp) needs the FULL row, which a blocked pass never sees
-    at once — but it equals rowsum(g∘o), so o is recomputed through the
-    forward kernel (one extra O(L²) sweep, the standard flash-backward trade)
-    and delta reduced in one elementwise XLA pass over (N, L, dh)."""
+    at once — but it equals rowsum(g∘o), and the primal output is already in
+    hand at defvjp time, so it rides along as one (N, L, dh) residual (same
+    size as q) and delta reduces in one elementwise XLA pass — no third
+    O(L²) forward-recompute sweep."""
     n, l, dh = q.shape
     gsz = 1
     lq, lkv = min(_FLASH_LQ, l), min(_FLASH_LKV, l)
     scale = 1.0 / math.sqrt(dh)
 
-    # delta needs o; recompute it through the forward kernel (cheap relative to
-    # the backward's two full sweeps and keeps residuals at q/k/v/lse only)
-    o, _ = _flash_impl(q, k, v, interpret)
-    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    # lane-broadcast to the same Mosaic-compliant (N, L, 128) layout as lse
+    delta = jnp.broadcast_to(
+        jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)[:, :, None],
+        (n, l, 128),
+    )
 
     row_spec = pl.BlockSpec((gsz, lq, dh), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec((gsz, lkv, dh), lambda i, j, kk: (i, kk, 0), memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((gsz, lq), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((gsz, lq, 128), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
         functools.partial(_flash_dq_kernel, scale=scale, seq_len=l),
         grid=(n // gsz, pl.cdiv(l, lq), pl.cdiv(l, lkv)),
@@ -1012,7 +1033,7 @@ def _flash_bwd_impl(q, k, v, g, lse, interpret: bool):
     # dkv pass: grid dims (i, kv-block, q-step)
     kvb_spec = pl.BlockSpec((gsz, lkv, dh), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM)
     qb_spec = pl.BlockSpec((gsz, lq, dh), lambda i, j, kk: (i, kk, 0), memory_space=pltpu.VMEM)
-    vecb_spec = pl.BlockSpec((gsz, lq), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM)
+    vecb_spec = pl.BlockSpec((gsz, lq, 128), lambda i, j, kk: (i, kk, 0), memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_flash_dkv_kernel, scale=scale, seq_len=l),
         grid=(n // gsz, pl.cdiv(l, lkv), pl.cdiv(l, lq)),
@@ -1044,18 +1065,17 @@ def flash_attention_heads(q, k, v, interpret: bool = False):
     this rung never materializes the (BH, L, L) score tensor the XLA VJP
     would need (which can exceed HBM outright at the lengths this kernel
     exists for)."""
-    out, _ = _flash_impl(q, k, v, interpret)
-    return out
+    return _flash_impl(q, k, v, interpret)
 
 
 def _flash_fwd(q, k, v, interpret):
-    out, lse = _flash_impl(q, k, v, interpret)
-    return out, (q, k, v, lse)
+    out, lse = _flash_impl(q, k, v, interpret, save_lse=True)
+    return out, (q, k, v, lse, out)
 
 
 def _flash_bwd(interpret, res, g):
-    q, k, v, lse = res
-    return _flash_bwd_impl(q, k, v, g.astype(q.dtype), lse, interpret)
+    q, k, v, lse, out = res
+    return _flash_bwd_impl(q, k, v, g.astype(q.dtype), lse, out, interpret)
 
 
 flash_attention_heads.defvjp(_flash_fwd, _flash_bwd)
@@ -1134,8 +1154,13 @@ def fused_attention(q, k, v, causal: bool = False, interpret: bool = False):
 
     BACKWARD: heads fold into the batch axis and run the fused whole-block
     Pallas backward (single-head (B*H, L, Dh) layout) when mha_bwd_eligible;
-    otherwise jax.vjp of the XLA formulation, which materializes the fp32
-    (B, H, L, L) score tensor in HBM on the backward."""
+    past that envelope, non-causal shapes mirror the forward's routing and
+    differentiate through flash_attention_heads' KV-blocked fused backward
+    (VMEM independent of L, at the cost of one forward re-run to rebuild its
+    lse residual); only causal shapes past the whole-block envelope fall to
+    jax.vjp of the XLA formulation, which materializes the fp32 (B, H, L, L)
+    score tensor in HBM (no supported model has one: the causal text stack
+    is L=77)."""
     return _fused_attention_impl(q, k, v, causal, interpret)
 
 
@@ -1152,6 +1177,19 @@ def _fused_attention_bwd(causal, interpret, res, g):
             v.reshape(b * h, l, dh), g.reshape(b * h, l, dh),
             1, causal, interpret,
         )
+        return (dq.reshape(b, h, l, dh), dk.reshape(b, h, l, dh),
+                dv.reshape(b, h, l, dh))
+    if not causal and flash_eligible(b * h, l, dh, q.dtype.itemsize):
+        # mirror the forward's routing: long non-causal shapes differentiate
+        # through flash_attention_heads' KV-blocked fused backward (VMEM
+        # independent of L) — the XLA VJP below would materialize an fp32
+        # (B, H, L, L) score tensor that can exceed HBM outright here
+        qf, kf, vf = (t.reshape(b * h, l, dh) for t in (q, k, v))
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: flash_attention_heads(q_, k_, v_, interpret),
+            qf, kf, vf,
+        )
+        dq, dk, dv = vjp(g.reshape(b * h, l, dh))
         return (dq.reshape(b, h, l, dh), dk.reshape(b, h, l, dh),
                 dv.reshape(b, h, l, dh))
     _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, causal), q, k, v)

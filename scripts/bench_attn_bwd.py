@@ -146,12 +146,87 @@ def bench_qtile(iters: int, dtype) -> None:
     )
 
 
+def bench_flash(iters: int, dtype) -> None:
+    """The KV-blocked flash backward: hardware parity against a float64 host
+    ground truth (the XLA VJP at these lengths carries the same ~8e-3 of TPU
+    default-precision bf16-pass noise as the kernel, so comparing the two on
+    device measures noise, not the kernel — and matmul precision "highest"
+    is impractically slow to compile for the flash kernels), plus fwd+bwd
+    step time of the fused backward vs the XLA-recompute fallback at a
+    long-sequence shape. Also exercises the round-5 Mosaic-alignment fix:
+    the (N, L, 128) lane-broadcast lse/delta layout is what lets these
+    kernels lower on hardware at all."""
+    import numpy as np
+
+    from anomalyclip_tpu.ops.pallas.attention import _xla_attention, flash_attention_heads
+
+    n, l, dh = 8, 1100, 64  # ragged q and kv tilings on both axes
+    rng = np.random.default_rng(1)
+    qn, kn, vn = (rng.standard_normal((n, l, dh)) for _ in range(3))
+    scale = 1.0 / np.sqrt(dh)
+    s = np.einsum("nld,nmd->nlm", qn, kn) * scale
+    s -= s.max(axis=2, keepdims=True)
+    p = np.exp(s)
+    p /= p.sum(axis=2, keepdims=True)
+    g = 2 * np.einsum("nlm,nmd->nld", p, vn)  # d/dq sum(out^2) upstream
+    rdv = np.einsum("nlm,nld->nmd", p, g)
+    dp = np.einsum("nld,nmd->nlm", g, vn)
+    ds = p * (dp - np.sum(p * dp, axis=2, keepdims=True))
+    ref = (np.einsum("nlm,nmd->nld", ds, kn) * scale,
+           np.einsum("nlm,nld->nmd", ds, qn) * scale, rdv)
+
+    q1, k1, v1 = (jnp.asarray(t, jnp.float32) for t in (qn, kn, vn))
+    got = jax.jit(jax.grad(
+        lambda a, b, c: jnp.sum(flash_attention_heads(a, b, c) ** 2),
+        argnums=(0, 1, 2),
+    ))(q1, k1, v1)
+    xla = jax.jit(jax.grad(
+        lambda a, b, c: jnp.sum(
+            _xla_attention(a[:, None], b[:, None], c[:, None], False)[:, 0] ** 2
+        ),
+        argnums=(0, 1, 2),
+    ))(q1, k1, v1)
+    for i, nm in enumerate(("dq", "dk", "dv")):
+        sc = np.abs(ref[i]).max()
+        ef = float(np.abs(np.asarray(got[i]) - ref[i]).max() / sc)
+        ex = float(np.abs(np.asarray(xla[i]) - ref[i]).max() / sc)
+        # the kernel must not be (meaningfully) noisier than the XLA VJP's own
+        # default-precision error vs float64 (measured: both ~8e-3 at L=1100)
+        assert ef < max(2 * ex, 1e-4), f"flash {nm}: {ef:.2e} vs xla {ex:.2e}"
+        print(f"flash {nm}: vs-f64 {ef:.2e} (xla-vjp vs-f64 {ex:.2e})", flush=True)
+
+    n, l = 64, 2048
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (jax.random.normal(kk, (n, l, dh)).astype(dtype) for kk in ks)
+
+    def step(fn):
+        def run(q_, k_, v_):
+            dq, dk, dv = jax.grad(
+                lambda a, b, c: jnp.sum(fn(a, b, c).astype(jnp.float32) ** 2),
+                argnums=(0, 1, 2),
+            )(q_, k_, v_)
+            return dq + dk + dv
+        return run
+
+    fused_ms = carry_bench(step(flash_attention_heads), q, k, v, iters=iters)
+    xla_ms = carry_bench(
+        step(lambda a, b, c: _xla_attention(a[:, None], b[:, None], c[:, None], False)[:, 0]),
+        q, k, v, iters=iters,
+    )
+    name = "bf16" if dtype == jnp.bfloat16 else "fp32"
+    print(f"flash long-L          (N={n} L={l} dh={dh} {name}): "
+          f"fwd+bwd fused {fused_ms:7.3f} ms  vs XLA-recompute {xla_ms:7.3f} ms "
+          f"({xla_ms / fused_ms:4.2f}x)", flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     ap.add_argument("--qtile", action="store_true",
                     help="only the q-tiled backward at the L/14@336 shape")
+    ap.add_argument("--flash", action="store_true",
+                    help="only the KV-blocked flash backward (long-L shapes)")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
@@ -161,6 +236,9 @@ def main() -> None:
 
     if args.qtile:
         bench_qtile(args.iters, dtype)
+        return
+    if args.flash:
+        bench_flash(args.iters, dtype)
         return
 
     for label, b, l, d, h, causal in SHAPES:

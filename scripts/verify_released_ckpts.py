@@ -140,7 +140,14 @@ def write_table(baseline_md: Path, rows: list[dict]) -> None:
     baseline_md.write_text(text)
 
 
-def run(datasets: dict, eval_fn, baseline_md: Path) -> int:
+def run(datasets: dict, eval_fn, baseline_md: Path, strict_paper: bool = False) -> int:
+    """Evaluate every dataset, rewrite the parity table, return the exit code.
+
+    Only ``reproduced`` targets gate the exit code: BASELINE.md defines parity
+    against the reference's REPRODUCED numbers, and the paper-table values are
+    declared provisional (reproduced runs routinely differ from paper tables
+    by more than the 0.2-pt tolerance). A paper-only miss is still printed and
+    marked in the table; ``strict_paper`` opts it into the exit code."""
     rows, rc = [], 0
     for name, spec in datasets.items():
         metrics = eval_fn(name)
@@ -151,7 +158,7 @@ def run(datasets: dict, eval_fn, baseline_md: Path) -> int:
             else ("paper (provisional)" if spec["paper"] is not None else "none")
         )
         ok = target is None or abs(ours - target) * 100 <= TOLERANCE_PTS
-        if not ok:
+        if not ok and (source == "reproduced" or strict_paper):
             rc = 1
         rows.append(
             {"dataset": name, "metric": spec["metric"], "ours": ours,
@@ -225,9 +232,15 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt-dir", default="checkpoints", type=Path)
     ap.add_argument("--datasets", nargs="*", default=list(DATASETS))
-    ap.add_argument("--baseline-md", default=REPO_ROOT / "BASELINE.md", type=Path)
+    ap.add_argument("--baseline-md", default=None, type=Path,
+                    help="parity-table target (default: repo BASELINE.md for real "
+                         "runs, a scratch file for --dry-run so the rehearsal "
+                         "never edits the production doc)")
     ap.add_argument("--allow-download", action="store_true",
                     help="fetch the released bundle from Google Drive if missing")
+    ap.add_argument("--strict-paper", action="store_true",
+                    help="let provisional paper-table targets gate the exit code "
+                         "(default: only reproduced targets do)")
     ap.add_argument("--dry-run", action="store_true",
                     help="offline rehearsal on the synthetic corpus + golden fixture")
     ap.add_argument("--dry-run-perturb", type=float, default=0.0)
@@ -237,7 +250,12 @@ def main(argv=None) -> int:
 
     if args.dry_run:
         with tempfile.TemporaryDirectory() as td:
-            return dry_run(Path(td), args.baseline_md, args.dry_run_perturb)
+            baseline = args.baseline_md or Path(td) / "BASELINE.dryrun.md"
+            rc = dry_run(Path(td), baseline, args.dry_run_perturb)
+            if args.baseline_md is None:
+                print(f"(dry-run table went to the scratch file {baseline}; pass "
+                      "--baseline-md to write elsewhere)")
+            return rc
 
     missing = [d for d in args.datasets if find_checkpoint(args.ckpt_dir, d) is None]
     if missing and args.allow_download:
@@ -259,7 +277,8 @@ def main(argv=None) -> int:
         return evaluate_checkpoint(name, ckpt, overrides)
 
     return run(
-        {d: DATASETS[d] for d in args.datasets}, eval_fn, args.baseline_md
+        {d: DATASETS[d] for d in args.datasets}, eval_fn,
+        args.baseline_md or REPO_ROOT / "BASELINE.md", args.strict_paper,
     )
 
 

@@ -34,6 +34,11 @@ _cache_dir = tempfile.mkdtemp(prefix="anomalyclip_xla_cache_")
 os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache_dir
 atexit.register(shutil.rmtree, _cache_dir, ignore_errors=True)
 
+# resolve_clip self-bootstraps from the pinned release URLs when no local
+# checkpoint exists; the suite must never touch the network (and on a
+# zero-egress host would only add a DNS-timeout to every miss)
+os.environ["ANOMALYCLIP_NO_DOWNLOAD"] = "1"
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -545,3 +545,41 @@ def test_flash_bwd_multiblock_matches_xla_vjp_fp32():
             np.asarray(got), np.asarray(want),
             rtol=1e-5, atol=1e-5 * scale, err_msg=name,
         )
+
+
+def test_fused_attention_long_bwd_routes_through_flash(monkeypatch):
+    """Past the whole-block backward envelope, non-causal fused_attention
+    gradients must mirror the forward's routing into the KV-blocked flash
+    backward (VMEM independent of L) instead of the XLA VJP that materializes
+    the fp32 (B, H, L, L) score tensor — and stay exact."""
+    from anomalyclip_tpu.ops.pallas import attention as A
+
+    b, h, l, dh = 1, 2, 512, 64
+    assert not A.mha_bwd_eligible(b * h, l, dh, 1, 4)
+    assert A.flash_eligible(b * h, l, dh, 4)
+
+    rng = np.random.default_rng(33)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, l, dh)), jnp.float32) for _ in range(3)
+    )
+
+    hits = []
+    real_bwd = A._flash_bwd_impl
+    monkeypatch.setattr(
+        A, "_flash_bwd_impl",
+        lambda *a, **kw: (hits.append(1), real_bwd(*a, **kw))[1],
+    )
+
+    def loss_fused(q, k, v):
+        return jnp.sum(A.fused_attention(q, k, v, causal=False, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, causal=False) ** 2)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    assert hits, "long non-causal backward did not route through the flash kernel"
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(got, want, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-4, err_msg=name
+        )

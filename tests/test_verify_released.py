@@ -113,3 +113,62 @@ def test_download_clip_verifies_sha(tmp_path, monkeypatch):
         lambda *a, **k: (_ for _ in ()).throw(AssertionError("re-downloaded")),
     )
     assert registry.download_clip("FAKE", root=tmp_path) == target
+
+
+def test_cache_filename_matches_reference_layout():
+    """Cache filenames must be the release URL's basename — the reference's
+    clip.load layout (clip.py:91) — NOT the literal arch string: the @336px
+    arch's file is ViT-L-14-336px.pt. The legacy literal spelling stays as a
+    fallback candidate so earlier builds' caches still resolve."""
+    from anomalyclip_tpu.models.clip import registry
+
+    assert registry._checkpoint_filename("ViT-L/14@336px") == "ViT-L-14-336px.pt"
+    assert registry._checkpoint_filename("ViT-B/16") == "ViT-B-16.pt"
+    names = [p.name for p in registry._cache_candidates("ViT-L/14@336px")]
+    assert "ViT-L-14-336px.pt" in names and "ViT-L-14@336px.pt" in names
+    assert names.index("ViT-L-14-336px.pt") < names.index("ViT-L-14@336px.pt")
+
+
+def test_resolve_clip_attempts_pinned_download(monkeypatch, tmp_path):
+    """resolve_clip's documented step 3 — self-bootstrap from the SHA-pinned
+    release table — must actually be attempted once local candidates miss,
+    and the ANOMALYCLIP_NO_DOWNLOAD kill switch must suppress it."""
+    from anomalyclip_tpu.models.clip import registry
+
+    calls = []
+
+    def fake_download(arch, root=None, timeout=60):
+        calls.append(arch)
+        raise OSError("no egress in this environment")
+
+    monkeypatch.setattr(registry, "download_clip", fake_download)
+    monkeypatch.delenv("CLIP_CKPT_PATH", raising=False)
+    monkeypatch.delenv("ANOMALYCLIP_NO_DOWNLOAD", raising=False)
+    with pytest.raises(FileNotFoundError, match="no egress"):
+        registry.resolve_clip("ViT-B/16", clip_init="pretrained")
+    assert calls == ["ViT-B/16"]
+
+    monkeypatch.setenv("ANOMALYCLIP_NO_DOWNLOAD", "1")
+    with pytest.raises(FileNotFoundError) as ei:
+        registry.resolve_clip("ViT-B/16", clip_init="pretrained")
+    assert calls == ["ViT-B/16"] and "download attempt" not in str(ei.value)
+
+
+def test_paper_targets_do_not_gate_exit_code(tmp_path):
+    """BASELINE.md's parity target is the reference's REPRODUCED numbers; the
+    provisional paper-table values must be reported (delta + table verdict)
+    but only gate the exit code under --strict-paper."""
+    import verify_released_ckpts as vrc
+
+    datasets = {"fake": {"metric": "m", "reproduced": None, "paper": 0.90}}
+    eval_fn = lambda name: {"m": 0.50}  # 40-pt miss vs the paper number
+
+    baseline = tmp_path / "B.md"
+    assert vrc.run(dict(datasets), eval_fn, baseline) == 0
+    text = baseline.read_text()
+    assert "paper (provisional)" in text and "**NO**" in text
+
+    assert vrc.run(dict(datasets), eval_fn, baseline, strict_paper=True) == 1
+
+    reproduced = {"fake": {"metric": "m", "reproduced": 0.90, "paper": None}}
+    assert vrc.run(reproduced, eval_fn, baseline) == 1
