@@ -50,6 +50,10 @@ class TestItem(NamedTuple):
     video_label: int
     segment_size: int
     path: str
+    # file id of score index 0 (frame files are start_frame-based, commonly 1;
+    # records.py / sources.py:189) — the visualizer needs it to show the right
+    # JPEG next to each score
+    start_frame: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,4 +142,5 @@ class VideoDataset:
             video_label=record.label,
             segment_size=segment_size,
             path=record.feature_path,
+            start_frame=record.start_frame,
         )

@@ -142,22 +142,25 @@ class DualStreamTrainLoader:
         item_seeds = rng.integers(np.iinfo(np.int64).max, size=2 * self.half)
         lo = self.process_index * self.local_half
         hi = lo + self.local_half
-        a_items = list(
-            self._pool.map(
-                lambda args: self.abnormal.train_item(
-                    int(args[0]), np.random.default_rng(int(args[1]))
-                ),
-                zip(a_ids[lo:hi], item_seeds[: self.half][lo:hi]),
-            )
+        # submit BOTH halves before collecting either: Executor.map enqueues
+        # its tasks eagerly, so the two halves' decodes overlap in the pool —
+        # list()-ing the abnormal half first would leave workers idle through
+        # each half's tail (up to ~2x per-batch host latency on the
+        # from-frames path when local_half is small next to num_workers)
+        a_iter = self._pool.map(
+            lambda args: self.abnormal.train_item(
+                int(args[0]), np.random.default_rng(int(args[1]))
+            ),
+            zip(a_ids[lo:hi], item_seeds[: self.half][lo:hi]),
         )
-        n_items = list(
-            self._pool.map(
-                lambda args: self.normal.train_item(
-                    int(args[0]), np.random.default_rng(int(args[1]))
-                ),
-                zip(n_ids[lo:hi], item_seeds[self.half :][lo:hi]),
-            )
+        n_iter = self._pool.map(
+            lambda args: self.normal.train_item(
+                int(args[0]), np.random.default_rng(int(args[1]))
+            ),
+            zip(n_ids[lo:hi], item_seeds[self.half :][lo:hi]),
         )
+        a_items = list(a_iter)
+        n_items = list(n_iter)
         a_feats = np.stack([f for f, _ in a_items])  # (b/2, ncrops, t, ...)
         n_feats = np.stack([f for f, _ in n_items])
         return TrainBatch(

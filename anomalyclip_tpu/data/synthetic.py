@@ -59,7 +59,7 @@ def generate_synthetic_dataset(
         # directory holding data this generator did not write
         import shutil
 
-        owned = stamp.is_file() or (annotations_root / ".synthetic_ok_frames").is_file()
+        owned = stamp.is_file()
         for root in (frames_root, annotations_root):
             if not root.exists():
                 continue

@@ -31,7 +31,7 @@ from anomalyclip_tpu.data.dataset import TestItem
 from anomalyclip_tpu.models.anomaly_clip import AnomalyCLIP
 from anomalyclip_tpu.models.clip.model import matmul_precision_for
 from anomalyclip_tpu.models.selector import BNState, selector_test
-from anomalyclip_tpu.models.temporal import axial_transformer, temporal_scores
+from anomalyclip_tpu.models.temporal import temporal_scores
 
 
 def bucket_size(g: int, buckets: Tuple[int, ...]) -> int:
@@ -242,6 +242,7 @@ class VideoScores:
     frame_labels: np.ndarray  # (T,)
     video_label: int
     path: str
+    start_frame: int = 0  # file id of score index 0 (visualizer frame lookup)
 
 
 def score_sampled_features(
@@ -324,6 +325,7 @@ def score_video(item: TestItem, scorer: GridScorer, model: AnomalyCLIP) -> Video
         frame_labels=np.asarray(item.frame_labels),
         video_label=item.video_label,
         path=item.path,
+        start_frame=getattr(item, "start_frame", 0),
     )
 
 

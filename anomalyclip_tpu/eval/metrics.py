@@ -50,6 +50,14 @@ _trapezoid = getattr(np, "trapezoid", None) or np.trapz
 
 
 def auroc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """AUC-ROC; nan when the labels are single-class (sklearn refuses such
+    input outright) — a finite 0.0 would read as a catastrophically bad epoch
+    to early stopping / sweeps, where nan is correctly filtered as undefined
+    (module.py gates the early-stopping monitor on isfinite)."""
+    labels = np.asarray(labels)
+    p = int(np.count_nonzero(labels))
+    if p == 0 or p == len(labels):
+        return float("nan")
     fpr, tpr, _ = roc_curve(scores, labels)
     return float(_trapezoid(tpr, fpr))
 
@@ -86,7 +94,10 @@ def precision_recall_curve(
 
 
 def average_precision(scores: np.ndarray, labels: np.ndarray) -> float:
-    """AP = Σ (R_i - R_{i-1}) P_i (sklearn average_precision_score)."""
+    """AP = Σ (R_i - R_{i-1}) P_i (sklearn average_precision_score); nan with
+    zero positives (undefined, same rationale as auroc)."""
+    if not np.count_nonzero(np.asarray(labels)):
+        return float("nan")
     precision, recall, _ = precision_recall_curve(scores, labels)
     return float(-np.sum(np.diff(recall) * precision[:-1]))
 

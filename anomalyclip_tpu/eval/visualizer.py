@@ -72,16 +72,20 @@ class Visualizer:
         t = len(scores)
 
         writer = None
+        start = int(getattr(video_scores, "start_frame", 0))
         for i in range(0, t, self.frame_step):
             fig, axes = plt.subplots(1, 3, figsize=(15, 4))
-            # frame panel: 0-based file id, the reference's convention
-            # (visualizer.py:206 image_tmpl.format(i))
-            fpath = frames_dir / self.image_tmpl.format(i)
+            # frame panel: score index i maps to file id i + start_frame — the
+            # data layer's own contract (sources.py:189; real datasets are
+            # 1-based). The reference renders image_tmpl.format(i) raw
+            # (visualizer.py:206), which is only correct for 0-based corpora —
+            # there every panel would lag its score by start_frame frames.
+            fpath = frames_dir / self.image_tmpl.format(i + start)
             if fpath.is_file():
                 img = cv2.cvtColor(cv2.imread(str(fpath)), cv2.COLOR_BGR2RGB)
                 axes[0].imshow(img)
             else:
-                axes[0].text(0.5, 0.5, f"frame {i}", ha="center")
+                axes[0].text(0.5, 0.5, f"frame {i + start}", ha="center")
             axes[0].set_axis_off()
 
             # class probability bars (abnormal classes only)

@@ -100,7 +100,7 @@ def _eval_artifact(cfg) -> dict:
         sim, sc, probs = art.score_test_item(item)
         return VideoScores(
             sim, sc, probs, np.asarray(item.frame_labels), item.video_label,
-            item.path,
+            item.path, getattr(item, "start_frame", 0),
         )
 
     # honor trainer.limit_test_batches like the checkpoint-backed path

@@ -75,12 +75,21 @@ class CheckpointManager:
             tmp.symlink_to(path.name)
             tmp.replace(last)  # atomic swap
         if self.save_top_k and self.save_top_k > 0:
-            epochs = sorted(self.ckpt_dir.glob("epoch_*"))
+            epochs = self._epoch_dirs()
             for old in epochs[: -self.save_top_k]:
                 import shutil
 
                 shutil.rmtree(old, ignore_errors=True)
         return path
+
+    def _epoch_dirs(self) -> list:
+        """epoch_* dirs in NUMERIC epoch order — lexicographic sort breaks
+        past the 3-digit padding (epoch_1000 < epoch_999), which would make
+        retention delete the newest checkpoints and latest() return a stale
+        one on runs with max_epochs >= 1000."""
+        return sorted(
+            self.ckpt_dir.glob("epoch_*"), key=lambda p: self.epoch_of(p) or -1
+        )
 
     def restore(
         self, path: str | Path, template: Optional[Dict[str, Any]] = None
@@ -100,7 +109,7 @@ class CheckpointManager:
         last = self.ckpt_dir / "last"
         if last.is_dir():
             return last
-        epochs = sorted(self.ckpt_dir.glob("epoch_*"))
+        epochs = self._epoch_dirs()
         return epochs[-1] if epochs else None
 
     def epoch_of(self, path: str | Path) -> Optional[int]:

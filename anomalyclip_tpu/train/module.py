@@ -760,8 +760,13 @@ class AnomalyCLIPTrainModule:
             self._old_sigterm = _signal.signal(_signal.SIGTERM, _on_sigterm)
             self._sigterm_installed = True
 
-        # newest completed epoch boundary; holding the pytree reference keeps
-        # the (small: trainable+opt+BN) buffers alive one extra epoch
+        # newest completed epoch boundary. NOTE: merely holding the device
+        # pytree is NOT enough — the next epoch's first train_step DONATES
+        # the state argument (donate_argnums), which deletes the underlying
+        # device buffers out from under any alias, so each boundary is
+        # snapshotted to host numpy (below). This initial reference is never
+        # saved (boundary_epoch == last_saved_epoch / < 0 guards), so it can
+        # stay a device alias
         boundary_epoch, boundary_state = start_epoch - 1, state
         last_saved_epoch = start_epoch - 1  # skip re-serializing in the grace window
         multi_host = jax.process_count() > 1
@@ -864,8 +869,14 @@ class AnomalyCLIPTrainModule:
                     metric_sums,
                 )
                 count += 1
-            # the epoch's steps all ran: this state is a resumable boundary
-            boundary_epoch, boundary_state = epoch, state
+            # the epoch's steps all ran: this state is a resumable boundary.
+            # Snapshot it to HOST memory — the next epoch's first train_step
+            # donates state's buffers, and a donated-then-deleted alias would
+            # make every mid-epoch preemption save fail ("Array has been
+            # deleted"). One small (trainable+opt+BN) blocking transfer per
+            # epoch, alongside the existing per-epoch metrics transfer
+            boundary_epoch = epoch
+            boundary_state = jax.tree_util.tree_map(np.asarray, state)
             _handle_preempt(epoch)
             # single blocking device->host transfer per epoch
             epoch_metrics = {
@@ -1155,6 +1166,11 @@ class AnomalyCLIPTrainModule:
             test_loader, scorer, self.model, on_video=on_video,
             gather_processes=jax.process_count() > 1,
         )
+        if not outputs:
+            # empty test pass (limit_test_batches=0 / empty annotation file):
+            # mirror validate()'s guard instead of a KeyError on the metrics
+            log.warning("test pass scored zero videos — no metrics written")
+            return {}
 
         from anomalyclip_tpu.models.anomaly_clip import read_classnames
 

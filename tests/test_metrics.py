@@ -116,3 +116,16 @@ def test_detection_metrics_block():
     assert out["auc_roc"] == pytest.approx(skm.roc_auc_score(labels_binary, scores))
     assert out["auc_pr"] == pytest.approx(skm.average_precision_score(labels_binary, scores))
     assert 0 <= out["mean_mc_auroc"] <= 1
+
+
+def test_single_class_detection_metrics_are_nan():
+    """sklearn refuses single-class labels; returning a finite 0.0 would read
+    as a catastrophically bad epoch to early stopping and sweeps, so the
+    detection-level metrics return nan (which module._fit's early-stopping
+    monitor filters as undefined)."""
+    from anomalyclip_tpu.eval.metrics import auroc, average_precision
+
+    scores = np.linspace(0, 1, 16)
+    assert np.isnan(auroc(scores, np.zeros(16, dtype=np.int64)))
+    assert np.isnan(auroc(scores, np.ones(16, dtype=np.int64)))
+    assert np.isnan(average_precision(scores, np.zeros(16, dtype=np.int64)))

@@ -113,3 +113,52 @@ def test_preempt_save_off_switch(tmp_path, monkeypatch):
         assert signal.SIGTERM not in installed
     finally:
         signal.signal(signal.SIGTERM, old)
+
+
+def test_sigterm_after_donating_step_saves_boundary(tmp_path):
+    """Preemption BETWEEN steps of epoch 1: epoch 1's first train_step donates
+    the device buffers of the state pytree that is also the epoch-0 boundary
+    (donate_argnums in _build_train_step), so the boundary must be a host
+    snapshot — a device alias would be deleted and the save would fail on
+    every mid-epoch preemption. (CPU ignores donation, so this suite cannot
+    see the deletion itself; the test pins the scenario and the host-snapshot
+    path so the TPU run takes exactly the code path exercised here.)"""
+    from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule, TrainingPreempted
+
+    cfg = synthetic_cfg(tmp_path, "trainer.max_epochs=3")
+    module = AnomalyCLIPTrainModule(cfg)
+
+    flags = {"epoch0_done": False, "fired": False}
+    orig_log = module.loggers.log_metrics
+
+    def hooked_log(metrics, step=None):
+        orig_log(metrics, step=step)
+        if step == 0 and "train/loss" in metrics:
+            flags["epoch0_done"] = True
+
+    module.loggers.log_metrics = hooked_log
+
+    orig_build = module._build_train_step
+
+    def build_hook(tx):
+        step_fn = orig_build(tx)
+
+        def wrapped(*args):
+            out = step_fn(*args)
+            # first step AFTER epoch 0's metrics == epoch 1's first step,
+            # which has just donated the epoch-0 boundary's buffers
+            if flags["epoch0_done"] and not flags["fired"]:
+                flags["fired"] = True
+                signal.raise_signal(signal.SIGTERM)
+            return out
+
+        return wrapped
+
+    module._build_train_step = build_hook
+
+    with pytest.raises(TrainingPreempted, match="saved boundary: epoch 0"):
+        module.fit()
+    assert flags["fired"]
+
+    restored = module.ckpt.restore(module.save_dir / "checkpoints" / "epoch_000")
+    assert int(restored["epoch"]) == 0

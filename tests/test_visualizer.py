@@ -79,3 +79,34 @@ def test_default_frame_step_renders_every_frame(tmp_path):
     cap = cv2.VideoCapture(str(tmp_path / "visualizations" / "video03.mp4"))
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == len(vs.scores)
     cap.release()
+
+
+def test_frame_lookup_honors_start_frame(tmp_path, monkeypatch):
+    """Real datasets number frame files from record.start_frame (commonly 1;
+    sources.py:189): the panel for score index i must load file i+start_frame,
+    not i — otherwise frame 0 is a missing-file placeholder and every panel
+    lags its score by start_frame frames."""
+    frames_dir = tmp_path / "video04"
+    frames_dir.mkdir()
+    rng = np.random.default_rng(3)
+    t = 8
+    for i in range(1, t + 1):  # 1-based corpus
+        img = rng.integers(0, 255, size=(32, 48, 3), dtype=np.uint8)
+        cv2.imwrite(str(frames_dir / f"{i:06d}.jpg"), img)
+
+    seen = []
+    real_imread = cv2.imread
+    monkeypatch.setattr(
+        cv2, "imread", lambda p, *a: (seen.append(p), real_imread(p, *a))[1]
+    )
+
+    viz = Visualizer(normal_id=3, labels_file=str(LABELS), save_dir=tmp_path)
+    import dataclasses
+
+    vs = dataclasses.replace(
+        _fake_scores(t=t, n_abn=5, path=str(frames_dir)), start_frame=1
+    )
+    viz.process_video(vs)
+    names = [p.split("/")[-1] for p in seen]
+    assert names[0] == "000001.jpg" and names[-1] == f"{t:06d}.jpg"
+    assert len(names) == t  # every panel found its file — no placeholders
