@@ -1,6 +1,6 @@
 """Subprocess driver for the XD-Violence-scale stress test (tests/test_xd_scale.py).
 
-Runs in its own process so ru_maxrss measures THIS workload's peak host memory,
+Runs in its own process so VmHWM measures THIS workload's peak host memory,
 not whatever the parent pytest process touched before. Scores one hour-scale
 synthetic video through the production predict path (predict.score_input ->
 GridScorer buckets -> score_sampled_features), reproduces it as a chunked
@@ -15,6 +15,7 @@ pads+chunks them into segment_size independent 32x16 grids
 from __future__ import annotations
 
 import json
+import os
 import resource
 import sys
 from pathlib import Path
@@ -127,7 +128,23 @@ def main() -> None:
     max_diff = float(np.abs(chunked_scores - vs.scores).max())
 
     n_buckets = int(module._scorer(state)._score._cache_size())
-    peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    # peak host memory: use VmHWM (the CURRENT mm's high-water mark), NOT
+    # ru_maxrss. getrusage's maxrss is carried in the signal struct across
+    # exec, so a child spawned from a fat parent (a loaded pytest-xdist
+    # worker) inherits the PARENT's peak — measured empirically: a 6GB parent
+    # yields ru_maxrss=6294MB in a trivial exec'd child whose VmHWM is 150MB.
+    # That made this test report the test session's memory, not this
+    # workload's (both xd children reported an identical 8.7GB under
+    # `make test-full`). VmHWM is reset with the new mm at exec.
+    ru_maxrss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    vm_hwm_mb = -1.0
+    try:
+        for line in Path("/proc/self/status").read_text().splitlines():
+            if line.startswith("VmHWM:"):
+                vm_hwm_mb = int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    peak_rss_mb = vm_hwm_mb if vm_hwm_mb > 0 else ru_maxrss_mb
 
     print(json.dumps({
         "mode": mode,
@@ -136,6 +153,9 @@ def main() -> None:
         "embed_dim": d,
         "segment_size": int(t_frames // grid_frames),
         "peak_rss_mb": round(peak_rss_mb, 1),
+        "ru_maxrss_mb": round(ru_maxrss_mb, 1),  # incl. pre-exec parent peak
+        "ncpu": os.cpu_count(),
+        "malloc_arena_max": os.environ.get("MALLOC_ARENA_MAX"),
         "n_bucket_executables": n_buckets,
         "max_abs_chunk_diff": max_diff,
         "auc_roc": det["auc_roc"],

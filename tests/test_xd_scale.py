@@ -7,8 +7,10 @@ videos: padded and chunked into segment_size independent 32x16 grids
 module pushes a >=100k-frame video through the production predict/score path
 in a fresh subprocess and asserts the three scale properties:
 
-- peak host RSS stays bounded (measured via ru_maxrss in the child, so the
-  number is this workload's, not the test session's);
+- peak host RSS stays bounded (measured via VmHWM in the child — NOT
+  ru_maxrss, which is carried across exec and would report the spawning
+  pytest worker's peak, see xd_scale_child.py — so the number is this
+  workload's, not the test session's);
 - the jitted bucket cache stays bounded (a handful of executables, not one
   per video length);
 - the full-video outputs equal a chunked-reference computation (grids are
