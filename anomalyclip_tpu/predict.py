@@ -249,12 +249,17 @@ def score_input(module, state, raw: np.ndarray, path: str):
     )
     indices = gather_frame_indices(starts, samp.seg_length, samp.stride, t_raw)
     normal_fill = int(module.net_cfg.normal_id)
+    # frames-dir inputs are 1-based by _load_input's own contract
+    # (VideoRecord(start_frame=1)); the visualizer needs the same offset to
+    # show file i+1 next to score i. Other input kinds have no frame files.
+    start_frame = 1 if Path(path).is_dir() else 0
     item = TestItem(
         features=raw[:, indices],
         frame_labels=np.full(t_raw, normal_fill, dtype=np.int64),
         video_label=normal_fill,
         segment_size=segment_size,
         path=path,
+        start_frame=start_frame,
     )
     vs = score_video(item, module._scorer(state), module.model)
 

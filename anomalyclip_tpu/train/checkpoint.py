@@ -86,10 +86,13 @@ class CheckpointManager:
         """epoch_* dirs in NUMERIC epoch order — lexicographic sort breaks
         past the 3-digit padding (epoch_1000 < epoch_999), which would make
         retention delete the newest checkpoints and latest() return a stale
-        one on runs with max_epochs >= 1000."""
-        return sorted(
-            self.ckpt_dir.glob("epoch_*"), key=lambda p: self.epoch_of(p) or -1
-        )
+        one on runs with max_epochs >= 1000. Unparseable epoch_* names sort
+        first (retention prunes them before real epochs)."""
+        def key(p: Path) -> int:
+            e = self.epoch_of(p)
+            return -1 if e is None else e
+
+        return sorted(self.ckpt_dir.glob("epoch_*"), key=key)
 
     def restore(
         self, path: str | Path, template: Optional[Dict[str, Any]] = None
@@ -113,7 +116,10 @@ class CheckpointManager:
         return epochs[-1] if epochs else None
 
     def epoch_of(self, path: str | Path) -> Optional[int]:
-        match = re.search(r"epoch_(\d+)", str(path))
+        """Epoch number of a checkpoint dir, parsed from its BASENAME only —
+        matching anywhere in the absolute path would key every child off a
+        run dir that happens to contain an 'epoch_<n>' token."""
+        match = re.fullmatch(r"epoch_(\d+)", Path(path).name)
         return int(match.group(1)) if match else None
 
 

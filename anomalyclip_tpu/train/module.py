@@ -874,7 +874,9 @@ class AnomalyCLIPTrainModule:
             # donates state's buffers, and a donated-then-deleted alias would
             # make every mid-epoch preemption save fail ("Array has been
             # deleted"). One small (trainable+opt+BN) blocking transfer per
-            # epoch, alongside the existing per-epoch metrics transfer
+            # epoch, alongside the existing per-epoch metrics transfer; the
+            # regular per-epoch checkpoint below serializes THIS snapshot, so
+            # the transfer is shared, not added
             boundary_epoch = epoch
             boundary_state = jax.tree_util.tree_map(np.asarray, state)
             _handle_preempt(epoch)
@@ -945,14 +947,17 @@ class AnomalyCLIPTrainModule:
                 not fast_dev_run
                 and (epoch + 1) % self._ckpt_every_n_epochs == 0
             ):
-                # all hosts: the Orbax save is collective (checkpoint.py)
+                # all hosts: the Orbax save is collective (checkpoint.py).
+                # Serialize the boundary host snapshot (same values as state;
+                # np.asarray inside the saver is then a no-op, so the device
+                # transfer already paid for the snapshot is the only one)
                 self.ckpt.save_epoch(
                     epoch,
                     {
-                        "trainable": state.trainable,
-                        "opt_state": state.opt_state,
-                        "bn_state": state.bn_state,
-                        "step": np.asarray(state.step),
+                        "trainable": boundary_state.trainable,
+                        "opt_state": boundary_state.opt_state,
+                        "bn_state": boundary_state.bn_state,
+                        "step": np.asarray(boundary_state.step),
                         "epoch": np.asarray(epoch),
                     },
                 )

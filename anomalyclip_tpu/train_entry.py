@@ -14,6 +14,7 @@ weights when ``test: True``.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from pathlib import Path
@@ -254,10 +255,18 @@ def _hparams_search(argv) -> dict:
         except Exception as exc:  # a failed trial must not kill the search
             log.error(f"trial {i} failed: {exc!r}")
             metrics, value = {"error": repr(exc)}, None
-        if value is not None:
+        # nan (e.g. a single-class val subset makes auroc undefined) must not
+        # enter the TPE history or best-trial selection: max()/min() keep the
+        # first element when every comparison with nan is False, so one nan
+        # trial would be reported as the sweep best over real finite trials
+        finite = value is not None and math.isfinite(float(value))
+        if finite:
             tpe_history.append((trial, float(value)))
         results.append({"trial": i, "params": trial, "value": value})
-    valid = [r for r in results if r["value"] is not None]
+    valid = [
+        r for r in results
+        if r["value"] is not None and math.isfinite(float(r["value"]))
+    ]
     if valid:
         best = (max if direction == "max" else min)(valid, key=lambda r: r["value"])
         log.info(

@@ -125,7 +125,13 @@ def test_sigterm_after_donating_step_saves_boundary(tmp_path):
     path so the TPU run takes exactly the code path exercised here.)"""
     from anomalyclip_tpu.train.module import AnomalyCLIPTrainModule, TrainingPreempted
 
-    cfg = synthetic_cfg(tmp_path, "trainer.max_epochs=3")
+    # every_n_epochs=2 keeps the REGULAR save from covering epoch 0 — with the
+    # default cadence last_saved_epoch==0 already and _handle_preempt's guard
+    # skips the boundary-snapshot save this test exists to exercise
+    cfg = synthetic_cfg(
+        tmp_path, "trainer.max_epochs=3",
+        "callbacks.model_checkpoint.every_n_epochs=2",
+    )
     module = AnomalyCLIPTrainModule(cfg)
 
     flags = {"epoch0_done": False, "fired": False}

@@ -79,6 +79,36 @@ def test_checkpoint_retention_and_symlinked_last(tmp_path):
     assert int(restored["epoch"]) == 3
 
 
+def test_checkpoint_ordering_numeric_and_pathname_proof(tmp_path):
+    """Retention/latest() must order epoch dirs NUMERICALLY by their basename:
+    lexicographic order breaks past the 3-digit padding (epoch_1000 < epoch_999
+    as strings), and keying off the full path would tie every child when the
+    RUN DIR itself contains an 'epoch_<n>' token (e.g. exp_name 'epoch_2_rerun'),
+    letting retention delete the newest checkpoint."""
+    import jax.numpy as jnp
+
+    from anomalyclip_tpu.models.selector import BNState
+    from anomalyclip_tpu.train.checkpoint import CheckpointManager
+
+    run_dir = tmp_path / "epoch_2_rerun"  # poisons any full-path regex match
+    mgr = CheckpointManager(run_dir, save_top_k=2)
+    state = {
+        "trainable": {"w": np.ones((3,), np.float32)},
+        "opt_state": {"m": np.zeros((3,), np.float32)},
+        "bn_state": BNState(jnp.zeros((2,)), jnp.ones((2,))),
+        "step": np.asarray(0, np.int32),
+        "epoch": np.asarray(0, np.int64),
+    }
+    for epoch in (998, 999, 1000, 1001):  # crosses the 3-digit padding
+        state["epoch"] = np.asarray(epoch, np.int64)
+        mgr.save_epoch(epoch, state)
+
+    kept = sorted(p.name for p in (run_dir / "checkpoints").glob("epoch_*"))
+    assert kept == ["epoch_1000", "epoch_1001"]
+    assert int(mgr.restore(mgr.latest())["epoch"]) == 1001
+    assert mgr.epoch_of("epoch_000") == 0  # falsy epoch 0 still parses
+
+
 def test_ncentroid_limit_never_cached(tmp_path):
     """A truncated centroid pass (fast_dev_run) must not write/trust the cache."""
     from tests.helpers.synthetic_run import synthetic_cfg
