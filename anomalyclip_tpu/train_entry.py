@@ -14,7 +14,6 @@ weights when ``test: True``.
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 from pathlib import Path
@@ -263,20 +262,32 @@ def _hparams_search(argv) -> dict:
         if finite:
             tpe_history.append((trial, float(value)))
         results.append({"trial": i, "params": trial, "value": value})
-    valid = [
-        r for r in results
-        if r["value"] is not None and math.isfinite(float(r["value"]))
-    ]
-    if valid:
-        best = (max if direction == "max" else min)(valid, key=lambda r: r["value"])
+    best = _best_trial(results, direction)
+    if best is not None:
         log.info(
             f"hparams_search best: trial {best['trial']} {optimized}={best['value']:.4f} "
             f"params={best['params']}"
         )
     else:
-        best = None
         log.warning("hparams_search: no trial produced the optimized metric")
     return {"trials": results, "best": best}
+
+
+def _best_trial(results, direction: str):
+    """Best trial by finite value, or None. Trials whose value is None (failed
+    run) or nan (undefined metric, e.g. a single-class val subset) are
+    excluded — max()/min() keep the first element when every comparison with
+    nan is False, so one nan trial would otherwise win over finite trials."""
+    import math
+
+    valid = [
+        r for r in results
+        if r["value"] is not None and math.isfinite(float(r["value"]))
+    ]
+    if not valid:
+        return None
+    pick = max if direction == "max" else min
+    return pick(valid, key=lambda r: float(r["value"]))
 
 
 def _single_run(argv) -> dict:

@@ -109,6 +109,24 @@ def test_checkpoint_ordering_numeric_and_pathname_proof(tmp_path):
     assert mgr.epoch_of("epoch_000") == 0  # falsy epoch 0 still parses
 
 
+def test_best_trial_selection_ignores_nan_and_none():
+    """One nan trial must not win a sweep: max() keeps the first element when
+    every comparison with nan is False, so an unfiltered nan at index 0 would
+    be reported as best over real finite trials."""
+    from anomalyclip_tpu.train_entry import _best_trial
+
+    results = [
+        {"trial": 0, "params": {}, "value": float("nan")},
+        {"trial": 1, "params": {}, "value": 0.7},
+        {"trial": 2, "params": {}, "value": None},
+        {"trial": 3, "params": {}, "value": 0.9},
+    ]
+    assert _best_trial(results, "max")["trial"] == 3
+    assert _best_trial(results, "min")["trial"] == 1
+    assert _best_trial(results[:1], "max") is None
+    assert _best_trial([], "max") is None
+
+
 def test_ncentroid_limit_never_cached(tmp_path):
     """A truncated centroid pass (fast_dev_run) must not write/trust the cache."""
     from tests.helpers.synthetic_run import synthetic_cfg
