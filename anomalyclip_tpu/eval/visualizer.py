@@ -47,7 +47,11 @@ class Visualizer:
         # (reference: src/utils/visualizer.py:222-256). Values >1 render every
         # k-th frame as an opt-in speed knob (data.visualize_frame_step) —
         # each frame is a full matplotlib figure, so step 16 is ~16x cheaper.
-        self.frame_step = frame_step
+        # Clamp user config to >=1: a 0/negative step would crash range() in
+        # process_video per-video, AFTER the scoring pass was already paid for
+        if int(frame_step) < 1:
+            log.warning(f"visualize_frame_step={frame_step} invalid; using 1")
+        self.frame_step = max(1, int(frame_step))
 
     def _frames_dir(self, path: str) -> Optional[Path]:
         p = Path(path)

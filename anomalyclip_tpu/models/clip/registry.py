@@ -87,17 +87,22 @@ def download_clip(arch: str, root: Optional[Path] = None, timeout: int = 60) -> 
     target = root / _checkpoint_filename(arch)
     if target.is_file() and sha256_file(target) == expected:
         return target
-    tmp = target.with_suffix(".pt.partial")
-    with urllib.request.urlopen(url, timeout=timeout) as resp, open(tmp, "wb") as out:
-        while True:
-            block = resp.read(1 << 20)
-            if not block:
-                break
-            out.write(block)
-    if sha256_file(tmp) != expected:
-        tmp.unlink(missing_ok=True)
-        raise RuntimeError(f"SHA256 mismatch downloading {arch} from {url}")
-    tmp.replace(target)
+    # per-process temp name: concurrent callers (multi-host module init,
+    # parallel sweep trials sharing $HOME) must not interleave writes into one
+    # shared .partial — each downloads privately, the atomic replace wins-last
+    tmp = target.with_suffix(f".pt.partial.{os.getpid()}")
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp, open(tmp, "wb") as out:
+            while True:
+                block = resp.read(1 << 20)
+                if not block:
+                    break
+                out.write(block)
+        if sha256_file(tmp) != expected:
+            raise RuntimeError(f"SHA256 mismatch downloading {arch} from {url}")
+        tmp.replace(target)
+    finally:
+        tmp.unlink(missing_ok=True)  # no-op after the successful replace
     return target
 
 

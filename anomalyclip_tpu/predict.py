@@ -79,6 +79,16 @@ def _decode_video_file(path: Path, input_size: int) -> np.ndarray:
     return buf[:t]
 
 
+def input_start_frame(path: str | Path) -> int:
+    """File id of score index 0 for this input: frames-dir corpora are 1-based
+    (count_frames walks 1-based ids, the reference's video_dataset.py:203-206
+    convention; _load_input builds its VideoRecord from this). Non-dir inputs
+    (.npy, video files) have no frame files. ONE definition — _load_input's
+    gather and score_input's visualizer offset must agree or every rendered
+    panel lags its score."""
+    return 1 if Path(path).is_dir() else 0
+
+
 def _load_input(path: Path, data_cfg, input_size: int) -> np.ndarray:
     """-> (ncrops, T, ...) features or preprocessed frames, evaluator layout.
 
@@ -109,8 +119,8 @@ def _load_input(path: Path, data_cfg, input_size: int) -> np.ndarray:
             fast_decode=bool(data_cfg.get("fast_decode", False)),
         )
         rec = VideoRecord(
-            rel_path=path.name, start_frame=1, end_frame=n, label=0,
-            root=str(path.parent),
+            rel_path=path.name, start_frame=input_start_frame(path),
+            end_frame=n, label=0, root=str(path.parent),
         )
         # decode on a pool — cv2/PIL release the GIL, so this scales with cores
         # (same fan-out as extract_features.py)
@@ -249,10 +259,7 @@ def score_input(module, state, raw: np.ndarray, path: str):
     )
     indices = gather_frame_indices(starts, samp.seg_length, samp.stride, t_raw)
     normal_fill = int(module.net_cfg.normal_id)
-    # frames-dir inputs are 1-based by _load_input's own contract
-    # (VideoRecord(start_frame=1)); the visualizer needs the same offset to
-    # show file i+1 next to score i. Other input kinds have no frame files.
-    start_frame = 1 if Path(path).is_dir() else 0
+    start_frame = input_start_frame(path)  # same rule _load_input gathered by
     item = TestItem(
         features=raw[:, indices],
         frame_labels=np.full(t_raw, normal_fill, dtype=np.int64),

@@ -746,9 +746,10 @@ class AnomalyCLIPTrainModule:
         import threading as _threading
 
         preempt_flag = {"set": False}
-        if bool(trainer_cfg.get("preempt_save", True)) and (
+        preempt_armed = bool(trainer_cfg.get("preempt_save", True)) and (
             _threading.current_thread() is _threading.main_thread()
-        ):
+        )
+        if preempt_armed:
 
             def _on_sigterm(signum, frame):
                 # async-signal-safe: only flip the flag — logging here can
@@ -876,9 +877,16 @@ class AnomalyCLIPTrainModule:
             # deleted"). One small (trainable+opt+BN) blocking transfer per
             # epoch, alongside the existing per-epoch metrics transfer; the
             # regular per-epoch checkpoint below serializes THIS snapshot, so
-            # the transfer is shared, not added
+            # the transfer is shared, not added. Skipped when it would have no
+            # consumer (preemption saving off AND no checkpoint due this epoch)
             boundary_epoch = epoch
-            boundary_state = jax.tree_util.tree_map(np.asarray, state)
+            ckpt_due = (
+                not fast_dev_run and (epoch + 1) % self._ckpt_every_n_epochs == 0
+            )
+            if preempt_armed or ckpt_due:
+                boundary_state = jax.tree_util.tree_map(np.asarray, state)
+            else:
+                boundary_state = state  # alias fine: _handle_preempt never fires
             _handle_preempt(epoch)
             # single blocking device->host transfer per epoch
             epoch_metrics = {
